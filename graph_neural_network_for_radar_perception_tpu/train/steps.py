@@ -1,0 +1,181 @@
+"""Jitted train/eval steps and optimiser construction.
+
+Replaces the reference's python training wrapper
+(modules/neural_net/gnn/gnn_detector.py:419-478 — a per-graph python loop —
+and gnn/training.py:48-186) with one compiled program: the model is vmapped
+over the stacked batch, per-graph loss sums are combined, and the SGD
+(momentum 0.9, coupled weight decay, MultiStep LR ×0.1 at 50 %/80 %) update
+is fused in.  NaN protection becomes a branchless masked update rather than
+the reference's python `skip_batch` (training.py:40-45).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.config import GNNConfig
+from ..core.graph import GraphBatch, GraphLabels, RadarGraph
+from ..models.gnn import RadarGNN
+from .loss import graph_loss_sums, reduce_loss_sums, tree_sum
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def lr_schedule(cfg: GNNConfig) -> optax.Schedule:
+    """MultiStepLR(γ=0.1 @50%/80%) equivalent
+    (set_param_for_training_gnn.py:50-56)."""
+    m1, m2 = cfg.lr_milestones
+    return optax.piecewise_constant_schedule(
+        init_value=cfg.learning_rate,
+        boundaries_and_scales={m1: cfg.lr_gamma, m2: cfg.lr_gamma},
+    )
+
+
+def make_optimizer(cfg: GNNConfig) -> optax.GradientTransformation:
+    """torch.optim.SGD(momentum=0.9, weight_decay) semantics: wd is added to
+    the raw gradient BEFORE the momentum buffer (coupled), then
+    p ← p − lr·buf.  AdamW option mirrors set_param_for_training_gnn.py:46-56.
+    """
+    sched = lr_schedule(cfg)
+    if cfg.optim == "adamw":
+        return optax.adamw(sched, weight_decay=cfg.weight_decay)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.sgd(sched, momentum=cfg.momentum, nesterov=False),
+    )
+
+
+def dummy_inputs(cfg: GNNConfig) -> Tuple[RadarGraph, GraphLabels]:
+    """Capacity-shaped zero graph for model init / compile checks."""
+    n, e, eu, c = cfg.max_nodes, cfg.max_edges, cfg.max_und_edges, cfg.max_clusters
+    graph = RadarGraph(
+        node_feat=jnp.zeros((n, cfg.input_node_feat_dim), jnp.float32),
+        edge_feat=jnp.zeros((e, cfg.input_edge_feat_dim), jnp.float32),
+        senders=jnp.zeros((e,), jnp.int32),
+        receivers=jnp.zeros((e,), jnp.int32),
+        node_mask=jnp.zeros((n,), bool).at[:2].set(True),
+        edge_mask=jnp.zeros((e,), bool).at[:2].set(True),
+        und_senders=jnp.zeros((eu,), jnp.int32),
+        und_receivers=jnp.ones((eu,), jnp.int32),
+        und_mask=jnp.zeros((eu,), bool).at[:1].set(True),
+        other_feat=jnp.zeros((n, 4), jnp.float32),
+    )
+    labels = GraphLabels(
+        node_class=jnp.zeros((n,), jnp.int32),
+        node_offsets=jnp.zeros((n, 2), jnp.float32),
+        edge_class=jnp.zeros((eu,), jnp.int32),
+        node2cluster=jnp.full((n,), c, jnp.int32).at[:2].set(0),
+        cluster_class=jnp.zeros((c,), jnp.int32),
+        cluster_mask=jnp.zeros((c,), bool).at[:1].set(True),
+    )
+    return graph, labels
+
+
+def init_params(cfg: GNNConfig, rng: jax.Array):
+    model = RadarGNN(cfg)
+    graph, labels = dummy_inputs(cfg)
+    variables = model.init(
+        rng, graph, labels.node2cluster, cfg.max_clusters, labels.cluster_mask
+    )
+    return variables["params"]
+
+
+def create_train_state(cfg: GNNConfig, rng: jax.Array) -> TrainState:
+    params = init_params(cfg, rng)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def batched_forward(model: RadarGNN, cfg: GNNConfig):
+    """Returns fn(params, graph_batch, labels_batch) → batched GNNOutputs."""
+
+    def single(params, graph, node2cluster, cluster_mask):
+        return model.apply(
+            {"params": params}, graph, node2cluster, cfg.max_clusters,
+            cluster_mask,
+        )
+
+    return jax.vmap(single, in_axes=(None, 0, 0, 0))
+
+
+def make_loss_fn(cfg: GNNConfig) -> Callable:
+    model = RadarGNN(cfg)
+    fwd = batched_forward(model, cfg)
+
+    def loss_fn(params, batch: GraphBatch):
+        outs = fwd(
+            params, batch.graph, batch.labels.node2cluster,
+            batch.labels.cluster_mask,
+        )
+        sums = jax.vmap(
+            lambda o, g, l: graph_loss_sums(o, g, l, cfg)
+        )(outs, batch.graph, batch.labels)
+        total, metrics = reduce_loss_sums(tree_sum(sums), cfg)
+        return total, metrics
+
+    return loss_fn
+
+
+def all_finite(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.all(
+        jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves])
+    )
+
+
+def apply_if(ok, new_tree, old_tree):
+    """Elementwise select between two pytrees on a scalar predicate
+    (branchless NaN-batch skip)."""
+    return jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_tree, old_tree
+    )
+
+
+def make_train_step(cfg: GNNConfig):
+    """(state, batch) → (state, metrics); single-device.  Sharded variants
+    live in parallel/."""
+    loss_fn = make_loss_fn(cfg)
+    tx = make_optimizer(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: GraphBatch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        # Branchless skip of non-finite batches (training.py:40-45): the
+        # whole update (including weight decay and momentum) is frozen.
+        ok = all_finite(grads) & jnp.isfinite(loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_if(
+            ok, (params, opt_state), (state.params, state.opt_state)
+        )
+        metrics = dict(metrics, skipped=(~ok).astype(jnp.float32))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: GNNConfig):
+    loss_fn = make_loss_fn(cfg)
+
+    @jax.jit
+    def eval_step(params, batch: GraphBatch) -> Dict[str, jnp.ndarray]:
+        _, metrics = loss_fn(params, batch)
+        return metrics
+
+    return eval_step

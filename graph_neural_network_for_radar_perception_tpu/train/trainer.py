@@ -1,0 +1,108 @@
+"""Iteration-based training loop.
+
+TPU-native re-design of modules/neural_net/gnn/training.py:48-186:
+iteration counter (not epochs), periodic validation sweep + checkpoint +
+paired train/val scalars, NaN skipping (compiled into the step), exact
+resume (params + optimiser + step via Orbax).  The host stays ahead of the
+device by building the next padded batch while the current step runs
+(dispatch is async; metrics are only pulled at log boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..config.config import GNNConfig
+from ..core.graph import GraphBatch
+from ..utils.checkpoint import CheckpointManager
+from ..utils.metrics_writer import MetricsWriter, RunningMeans
+from .steps import TrainState, create_train_state, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainHooks:
+    log_period: int = 100
+    val_period: int = 1000
+    num_val_batches: int = 8
+    checkpoint: Optional[CheckpointManager] = None
+    writer: Optional[MetricsWriter] = None
+    print_fn: Callable[[str], None] = print
+
+
+def train(
+    cfg: GNNConfig,
+    train_batches: Iterator[GraphBatch],
+    val_batches: Optional[Callable[[], Iterator[GraphBatch]]] = None,
+    *,
+    hooks: Optional[TrainHooks] = None,
+    state: Optional[TrainState] = None,
+    train_step=None,
+    max_iters: Optional[int] = None,
+    starting_iter: int = 0,
+) -> TrainState:
+    """Run the training loop; returns the final TrainState.
+
+    `train_step` defaults to the single-device jitted step; pass a sharded
+    step from parallel/ for multi-device runs (batches must then be placed
+    by the caller or the step's own `place_batch`).
+    """
+    hooks = hooks or TrainHooks()
+    if state is None:
+        state = create_train_state(cfg, jax.random.key(cfg.seed))
+    if train_step is None:
+        train_step = make_train_step(cfg)
+    eval_step = make_eval_step(cfg)
+    max_iters = max_iters if max_iters is not None else cfg.max_train_iter
+
+    tracker = RunningMeans()
+    t_start = time.perf_counter()
+    last_metrics = None
+
+    place = getattr(train_step, "place_batch", lambda b: b)
+
+    for it in range(starting_iter, max_iters):
+        batch = place(next(train_batches))
+        state, metrics = train_step(state, batch)
+        last_metrics = metrics
+
+        if (it + 1) % hooks.log_period == 0:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            tracker.update(host_metrics)
+            means = tracker.means()
+            elapsed = time.perf_counter() - t_start
+            ips = hooks.log_period / max(elapsed, 1e-9)
+            hooks.print_fn(
+                f"iter {it + 1}: loss {host_metrics['loss_total']:.4f} "
+                f"(node {host_metrics['loss_node_cls']:.3f} "
+                f"edge {host_metrics['loss_edge_cls']:.3f} "
+                f"reg {host_metrics['loss_node_reg']:.3f} "
+                f"obj {host_metrics['loss_obj_cls']:.3f}) "
+                f"{ips:.1f} it/s"
+            )
+            t_start = time.perf_counter()
+
+        if (it + 1) % hooks.val_period == 0:
+            val_means = None
+            if val_batches is not None:
+                vm = RunningMeans()
+                for vb in itertools.islice(
+                    val_batches(), hooks.num_val_batches
+                ):
+                    m = eval_step(state.params, place(vb))
+                    vm.update({k: float(v) for k, v in m.items()})
+                val_means = vm.means()
+            if hooks.writer is not None:
+                hooks.writer.write_train_val(
+                    it + 1, tracker.means(), val_means
+                )
+            tracker.reset()
+            if hooks.checkpoint is not None:
+                hooks.checkpoint.save(it + 1, jax.device_get(state))
+
+    return state

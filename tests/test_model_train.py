@@ -1,0 +1,127 @@
+"""End-to-end model + loss + train step tests, including the single-frame
+overfit harness — the reference's de-facto correctness test
+(script_overfit_gnn.ipynb, SURVEY.md §3.3): all four losses must shrink
+dramatically when fitting one frame."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_network_for_radar_perception_tpu.config.config import (
+    tiny_test_config,
+)
+from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+    SyntheticRadarDataset,
+    pad_frame,
+    stack_batch,
+)
+from graph_neural_network_for_radar_perception_tpu.train import steps as T
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    ds = SyntheticRadarDataset(cfg, seed=7, num_objects=3)
+    return next(ds.batches(cfg.batch_size))
+
+
+def to_jnp(tree):
+    return jax.tree.map(jnp.asarray, tree)
+
+
+class TestForward:
+    def test_shapes_and_finiteness(self, cfg, batch):
+        state = T.create_train_state(cfg, jax.random.key(0))
+        loss_fn = T.make_loss_fn(cfg)
+        total, metrics = loss_fn(state.params, to_jnp(batch))
+        assert np.isfinite(float(total))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+
+    def test_padding_invariance(self, cfg, batch):
+        """Enlarging node capacity must not change the loss (masking is
+        airtight)."""
+        big = tiny_test_config(max_nodes=96, max_clusters=48)
+        state = T.create_train_state(cfg, jax.random.key(0))
+
+        ds = SyntheticRadarDataset(cfg, seed=21, num_objects=1)
+        fr = ds.sample_frame()
+        # The frame must fit the smaller capacity, otherwise truncation
+        # differs between capacities and the comparison is meaningless.
+        while fr.n > cfg.max_nodes or fr.cluster_class.shape[0] > cfg.max_clusters:
+            fr = ds.sample_frame()
+        b_small = stack_batch([pad_frame(fr, cfg)])
+        b_big = stack_batch([pad_frame(fr, big)])
+
+        # Same params applied at both capacities (shapes are per-feature,
+        # capacity-independent).
+        small_loss, small_m = T.make_loss_fn(cfg)(state.params, to_jnp(b_small))
+        big_loss, big_m = T.make_loss_fn(big)(state.params, to_jnp(b_big))
+        np.testing.assert_allclose(
+            float(small_loss), float(big_loss), rtol=1e-4
+        )
+        for k in small_m:
+            np.testing.assert_allclose(
+                float(small_m[k]), float(big_m[k]), rtol=1e-4, err_msg=k
+            )
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, cfg, batch):
+        state = T.create_train_state(cfg, jax.random.key(1))
+        step = T.make_train_step(cfg)
+        b = to_jnp(batch)
+        _, m0 = step(state, b)
+        for _ in range(30):
+            state, m = step(state, b)
+        assert float(m["loss_total"]) < float(m0["loss_total"])
+
+    def test_overfit_single_frame(self):
+        """Overfit milestone (SURVEY.md §7 step 4): a few hundred SGD steps
+        on one small frame should collapse the total loss and push node/edge
+        accuracy near 1."""
+        cfg = tiny_test_config(
+            learning_rate=0.02, max_train_iter=4000, batch_size=1
+        )
+        ds = SyntheticRadarDataset(cfg, seed=3, num_objects=2)
+        b = to_jnp(stack_batch([pad_frame(ds.sample_frame(), cfg)]))
+        state = T.create_train_state(cfg, jax.random.key(2))
+        step = T.make_train_step(cfg)
+        _, m0 = step(state, b)
+        for _ in range(400):
+            state, m = step(state, b)
+        assert float(m["loss_total"]) < 0.35 * float(m0["loss_total"])
+        assert float(m["segment_accuracy"]) > 0.85
+        assert float(m["edge_accuracy"]) > 0.85
+        assert float(m["skipped"]) == 0.0
+
+    def test_nan_guard_skips_batch(self, cfg, batch):
+        state = T.create_train_state(cfg, jax.random.key(0))
+        step = T.make_train_step(cfg)
+        bad = to_jnp(batch)
+        poisoned = bad.graph.node_feat.at[0, 0, 0].set(jnp.nan)
+        import dataclasses
+
+        bad = dataclasses.replace(
+            bad, graph=dataclasses.replace(bad.graph, node_feat=poisoned)
+        )
+        new_state, m = step(state, bad)
+        assert float(m["skipped"]) == 1.0
+        # params unchanged when skipped
+        for a, b_ in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_lr_schedule_milestones(self, cfg):
+        sched = T.lr_schedule(cfg)
+        m1, m2 = cfg.lr_milestones
+        lr0 = float(sched(0))
+        np.testing.assert_allclose(lr0, cfg.learning_rate)
+        np.testing.assert_allclose(float(sched(m1 + 1)), lr0 * 0.1, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(m2 + 1)), lr0 * 0.01, rtol=1e-6)
