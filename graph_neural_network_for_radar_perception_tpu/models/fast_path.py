@@ -1,0 +1,132 @@
+"""Hand-scheduled fast forward consuming the flax parameter tree.
+
+A functional twin of models/gnn.RadarGNN.__call__ for the shipped
+configuration (channel_normalization + leakyrelu, no extra features) that
+routes each message-passing round through the fused Pallas kernel
+(ops/pallas/fused_mp.py) instead of the XLA gather→MLP→scatter chain.
+
+Because it reads the exact same parameter pytree the flax model produces,
+the two paths are interchangeable: train with either, serve with either,
+import the reference checkpoint into both.  Fully jit/vmap/grad-compatible
+(the kernel carries a custom VJP).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config.config import GNNConfig
+from ..core.graph import RadarGraph
+from ..ops.norms import channel_norm
+from ..ops.pallas.fused_mp import fused_message_pass
+from .blocks import LEAKY_SLOPE
+from .gnn import GNNOutputs
+
+
+def _act(x):
+    return jax.nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def _ffn(p, x, normed=True):
+    d = p["Linear_0"]["Dense_0"]
+    x = x @ d["kernel"] + d["bias"]
+    if normed:
+        n = p["ScalarNorm_0"]
+        x = channel_norm(x, n["gamma"], n["beta"])
+    return _act(x)
+
+
+def _stack(p, x, first_unnormalized=False):
+    for j in range(len(p)):
+        x = _ffn(p[f"FFNBlock_{j}"], x, normed=not (j == 0 and first_unnormalized))
+    return x
+
+
+def _head(p, x):
+    x = _ffn(p["FFNBlock_0"], x)
+    d = p["Dense_0"]
+    return x @ d["kernel"] + d["bias"]
+
+
+def fast_forward(
+    params,
+    graph: RadarGraph,
+    node2cluster: jnp.ndarray,
+    num_clusters: int,
+    cluster_mask: jnp.ndarray,
+    cfg: GNNConfig,
+    *,
+    use_pallas: bool = True,
+    edge_tile: int = 512,
+    interpret: bool = False,
+) -> GNNOutputs:
+    assert cfg.norm_layer == "channel_normalization", (
+        "fast path supports the shipped channel_normalization config"
+    )
+    assert cfg.num_blocks_to_compute_edge == 1
+    n = graph.num_nodes
+    # Sentinel-index padded edges so the kernel drops them without masks.
+    senders = jnp.where(graph.edge_mask, graph.senders, n).astype(jnp.int32)
+    receivers = jnp.where(graph.edge_mask, graph.receivers, n).astype(
+        jnp.int32
+    )
+
+    x = _stack(
+        params["encode_node_feat"]["MLPStack_0"], graph.node_feat,
+        first_unnormalized=True,
+    )
+    e = _stack(
+        params["encode_edge_feat"]["MLPStack_0"], graph.edge_feat,
+        first_unnormalized=True,
+    )
+    e = jnp.where(graph.edge_mask[:, None], e, 0.0)
+
+    for b in range(len(cfg.graph_convolution_stem_channels)):
+        pb = params["pass_messages"][f"ResidualGraphConvBlock_{b}"]
+        msg0 = pb["MLPStack_0"]["FFNBlock_0"]
+        msg1 = pb["MLPStack_0"]["FFNBlock_1"]
+        w1 = msg0["Linear_0"]["Dense_0"]["kernel"]
+        b1 = msg0["Linear_0"]["Dense_0"]["bias"]
+        w2 = msg1["Linear_0"]["Dense_0"]["kernel"]
+        b2 = msg1["Linear_0"]["Dense_0"]["bias"]
+        g1 = msg0["ScalarNorm_0"]["gamma"][0]
+        be1 = msg0["ScalarNorm_0"]["beta"][0]
+        g2 = msg1["ScalarNorm_0"]["gamma"][0]
+        be2 = msg1["ScalarNorm_0"]["beta"][0]
+
+        agg = fused_message_pass(
+            x, e, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
+            LEAKY_SLOPE, edge_tile, interpret,
+        )
+        upd = _ffn(
+            pb["MLPStack_1"]["FFNBlock_0"],
+            jnp.concatenate([x, agg], axis=-1),
+        )
+        x = x + upd
+
+    nm = graph.node_mask
+    node_cls = _head(
+        params["predict_node"]["TaskSpecificHead_0"],
+        _stack(params["predict_node"]["MLPStack_0"], x),
+    )
+    node_off = _head(
+        params["predict_offset"]["TaskSpecificHead_0"],
+        _stack(params["predict_offset"]["MLPStack_0"], x),
+    )
+
+    xe = _ffn(params["predict_link"]["FFNBlock_0"], x)
+    el = xe[graph.und_senders] + xe[graph.und_receivers]
+    el = _stack(params["predict_link"]["MLPStack_0"], el)
+    edge_cls = _head(params["predict_link"]["TaskSpecificHead_0"], el)
+
+    xo = _stack(params["predict_class"]["MLPStack_0"], x)
+    from ..ops.segment import masked_segment_max
+
+    pooled = masked_segment_max(xo, node2cluster, num_clusters, nm)
+    obj_cls = _head(params["predict_class"]["TaskSpecificHead_0"], pooled)
+
+    return GNNOutputs(node_cls, node_off, edge_cls, obj_cls, x)

@@ -112,9 +112,23 @@ def batched_forward(model: RadarGNN, cfg: GNNConfig):
     return jax.vmap(single, in_axes=(None, 0, 0, 0))
 
 
-def make_loss_fn(cfg: GNNConfig) -> Callable:
-    model = RadarGNN(cfg)
-    fwd = batched_forward(model, cfg)
+def make_loss_fn(cfg: GNNConfig, use_fast_path: bool = False) -> Callable:
+    """Batched loss.  use_fast_path routes the forward through
+    models/fast_path.fast_forward (Pallas fused message kernel) — same
+    parameter tree, same numerics."""
+    if use_fast_path:
+        from ..models.fast_path import fast_forward
+
+        def single(params, graph, node2cluster, cluster_mask):
+            return fast_forward(
+                params, graph, node2cluster, cfg.max_clusters,
+                cluster_mask, cfg,
+            )
+
+        fwd = jax.vmap(single, in_axes=(None, 0, 0, 0))
+    else:
+        model = RadarGNN(cfg)
+        fwd = batched_forward(model, cfg)
 
     def loss_fn(params, batch: GraphBatch):
         outs = fwd(
@@ -145,10 +159,10 @@ def apply_if(ok, new_tree, old_tree):
     )
 
 
-def make_train_step(cfg: GNNConfig):
+def make_train_step(cfg: GNNConfig, use_fast_path: bool = False):
     """(state, batch) → (state, metrics); single-device.  Sharded variants
     live in parallel/."""
-    loss_fn = make_loss_fn(cfg)
+    loss_fn = make_loss_fn(cfg, use_fast_path)
     tx = make_optimizer(cfg)
 
     @jax.jit

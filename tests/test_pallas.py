@@ -1,0 +1,132 @@
+"""Fused message-passing Pallas kernel vs the unfused XLA reference —
+forward and gradients (interpret mode on CPU; the same kernel compiles
+natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_network_for_radar_perception_tpu.ops.pallas import fused_mp
+
+
+def make_problem(rng, n=128, e=700, d=32, de=16, h=64, d2=32):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    ef = rng.normal(size=(e, de)).astype(np.float32)
+    senders = rng.integers(0, n, size=e).astype(np.int32)
+    receivers = rng.integers(0, n, size=e).astype(np.int32)
+    # sprinkle padded (sentinel) edges
+    pad = rng.random(e) < 0.1
+    senders[pad] = n
+    receivers[pad] = n
+    w1 = (rng.normal(size=(2 * d + de, h)) * 0.1).astype(np.float32)
+    b1 = rng.normal(size=(h,)).astype(np.float32) * 0.1
+    w2 = (rng.normal(size=(h, d2)) * 0.1).astype(np.float32)
+    b2 = rng.normal(size=(d2,)).astype(np.float32) * 0.1
+    return (x, ef, senders, receivers, w1, b1, w2, b2,
+            np.float32(1.1), np.float32(0.05), np.float32(0.9),
+            np.float32(-0.02))
+
+
+def test_forward_matches_xla(rng):
+    args = make_problem(rng)
+    got = fused_mp.fused_message_pass(
+        *[jnp.asarray(a) for a in args], 0.01, 256, True
+    )
+    want = fused_mp._xla_reference(
+        *[jnp.asarray(a) for a in args], slope=0.01
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_forward_non_divisible_tile(rng):
+    args = make_problem(rng, e=500)
+    got = fused_mp.fused_message_pass(
+        *[jnp.asarray(a) for a in args], 0.01, 256, True
+    )
+    want = fused_mp._xla_reference(
+        *[jnp.asarray(a) for a in args], slope=0.01
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_gradients_match_xla(rng):
+    args = [jnp.asarray(a) for a in make_problem(rng, n=64, e=300)]
+
+    def loss_kernel(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        out = fused_mp.fused_message_pass(
+            x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
+            0.01, 128, True,
+        )
+        return jnp.sum(out * out)
+
+    def loss_xla(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        out = fused_mp._xla_reference(
+            x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
+            slope=0.01,
+        )
+        return jnp.sum(out * out)
+
+    diff_args = [args[0], args[1]] + args[4:]
+    gk = jax.grad(loss_kernel, argnums=tuple(range(10)))(*diff_args)
+    gx = jax.grad(loss_xla, argnums=tuple(range(10)))(*diff_args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad {i}",
+        )
+
+
+def test_fast_path_matches_flax_model(rng):
+    """fast_forward (Pallas kernel, interpret on CPU) must equal the flax
+    model on the same params + graph."""
+    import jax
+
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.fast_path import (
+        fast_forward,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import RadarGNN
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        init_params,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(3))
+    ds = SyntheticRadarDataset(cfg, seed=2, num_objects=2)
+    g, lbl = pad_frame(ds.sample_frame(), cfg)
+    g = jax.tree.map(jnp.asarray, g)
+    n2c = jnp.asarray(lbl.node2cluster)
+    cm = jnp.asarray(lbl.cluster_mask)
+
+    want = RadarGNN(cfg).apply(
+        {"params": params}, g, n2c, cfg.max_clusters, cm
+    )
+    got = fast_forward(
+        params, g, n2c, cfg.max_clusters, cm, cfg,
+        edge_tile=128, interpret=True,
+    )
+    nm = np.asarray(g.node_mask)
+    um = np.asarray(g.und_mask)
+    cmsk = np.asarray(cm)
+    np.testing.assert_allclose(
+        np.asarray(got.node_cls)[nm], np.asarray(want.node_cls)[nm],
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got.node_offsets)[nm], np.asarray(want.node_offsets)[nm],
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got.edge_cls)[um], np.asarray(want.edge_cls)[um],
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got.obj_cls)[cmsk], np.asarray(want.obj_cls)[cmsk],
+        rtol=2e-4, atol=2e-5)
