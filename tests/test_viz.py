@@ -1,0 +1,67 @@
+"""Smoke tests: every viz function renders to a PNG without errors."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax
+import numpy as np
+import pytest
+
+from graph_neural_network_for_radar_perception_tpu.config.config import (
+    tiny_test_config,
+)
+from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+    SyntheticRadarDataset,
+)
+from graph_neural_network_for_radar_perception_tpu.infer.pipeline import (
+    FrameDetector,
+)
+from graph_neural_network_for_radar_perception_tpu.train.steps import (
+    init_params,
+)
+from graph_neural_network_for_radar_perception_tpu.viz import plots as V
+
+
+@pytest.fixture(scope="module")
+def det():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(0))
+    d = FrameDetector(cfg, params)
+    ds = SyntheticRadarDataset(cfg, seed=8, num_objects=2)
+    return d.detect_frame_arrays(ds.sample_frame())
+
+
+def test_primitives_render(det, tmp_path):
+    import matplotlib.pyplot as plt
+
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    fr = det.gt
+    n = px.shape[0]
+    V.plot_measurements(px, py)
+    V.plot_range_rates(px, py, fr.other_feat[:n, 2], fr.other_feat[:n, 3])
+    V.plot_graph(px, py, fr.senders, fr.receivers)
+    V.plot_edge_labels(
+        px, py, fr.und_senders, fr.und_receivers, fr.edge_class
+    )
+    V.plot_node_classes(px, py, det.node_class)
+    V.plot_offsets(px, py, det.centers - det.xy)
+    V.plot_clusters(
+        px, py, det.node2cluster, det.num_clusters,
+        cluster_mu=det.cluster_mu, cluster_sigma=det.cluster_sigma,
+        cluster_class=det.cluster_class,
+    )
+    plt.savefig(tmp_path / "prims.png")
+    plt.close("all")
+
+
+def test_panels_and_gif(det, tmp_path):
+    import matplotlib.pyplot as plt
+
+    fig1 = V.plot_all_outputs(det, figsize=(8, 8))
+    fig2 = V.compare_pred_gt(det, figsize=(8, 4))
+    out = V.save_frames_as_gif([fig1, fig2], str(tmp_path / "out.gif"), fps=2)
+    assert os.path.getsize(out) > 1000
+    plt.close("all")
