@@ -105,4 +105,9 @@ def train(
             if hooks.checkpoint is not None:
                 hooks.checkpoint.save(it + 1, jax.device_get(state))
 
+    # Always leave a final checkpoint so short runs (< val_period) and
+    # resumes are never silently lost.
+    if hooks.checkpoint is not None and max_iters > starting_iter:
+        hooks.checkpoint.save(max_iters, jax.device_get(state), wait=True)
+
     return state
