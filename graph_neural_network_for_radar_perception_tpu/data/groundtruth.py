@@ -70,6 +70,15 @@ def gt_edge_labels(meas_trackid, adj_list, adj_matrix):
     return mat[rows, cols].astype(np.float32)
 
 
+def gt_edge_labels_from_und(meas_trackid, und_senders, und_receivers):
+    """Link labels directly on the undirected edge list — equivalent to
+    gt_edge_labels (link validity is symmetric, so reading the directed
+    validity matrix at triu positions equals evaluating on und pairs)."""
+    s_id = meas_trackid[und_senders]
+    r_id = meas_trackid[und_receivers]
+    return ((s_id == r_id) & (s_id != b"")).astype(np.float32)
+
+
 def gt_clusters(meas_trackid, gt_labels_dyn):
     """Cluster decomposition (datagen_gnn.py:15-45): one cluster per unique
     track id (in np.unique order), then one singleton cluster per untracked
