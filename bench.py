@@ -1,19 +1,19 @@
-"""Benchmark: message-passing training throughput (edge-messages/s/chip).
+"""Benchmark harness: message-passing training throughput on TPU.
 
-Runs the full jitted training step (fwd+bwd+SGD) of the flagship RadarGNN
-on one chip with a realistic batch, and compares against a PyTorch CPU
-baseline implementing the reference's gather → message-MLP → scatter-add
-recipe (torch_geometric's MessagePassing semantics; the reference repo
-publishes no speed numbers — BASELINE.md).
+Configs (mirroring BASELINE.json):
+  train_b8       batched training step, kNN graphs (headline metric)
+  stress_dense   radius-union graphs with ~10x edge fanout + 14 rounds
+  deploy         deployment forward incl. on-device DBSCAN (frames/s)
+  torch_cpu      reference-style gather/scatter baseline (plain torch)
 
-Prints ONE JSON line:
-  {"metric": "edge_messages_per_s", "value": N, "unit": "edges/s",
-   "vs_baseline": ratio_vs_torch_cpu}
+Prints ONE JSON line with the headline metric; details go to stderr.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -24,71 +24,157 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-BATCH = 8
-N_NODES = 768
-K = 10
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 ROUNDS = 7
 WIDTH = 64
 MSG_HIDDEN = 128
 
 
-def bench_jax():
+def _batch(cfg, batch_size, num_objects=8, seed=0):
     import jax
     import jax.numpy as jnp
+
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset,
+    )
+
+    ds = SyntheticRadarDataset(cfg, seed=seed, num_objects=num_objects)
+    return jax.tree.map(jnp.asarray, next(ds.batches(batch_size)))
+
+
+def _time_steps(step, state, batch, iters):
+    import jax
+
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss_total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss_total"])
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train_b8():
+    import jax
+
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        GNNConfig,
+    )
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        create_train_state, make_train_step,
+    )
+    from graph_neural_network_for_radar_perception_tpu.utils.profiling import (
+        flops_per_train_step,
+    )
+
+    cfg = GNNConfig(max_nodes=768, max_clusters=256)
+    batch = _batch(cfg, 8)
+    state = create_train_state(cfg, jax.random.key(0))
+    dt = _time_steps(make_train_step(cfg), state, batch, 30)
+    edges = 8 * cfg.max_edges * len(cfg.graph_convolution_stem_channels)
+    eps = edges / dt
+    tflops = flops_per_train_step(cfg, 8) / dt / 1e12
+    log(
+        f"train_b8: {dt * 1e3:.2f} ms/step → {eps:.3e} edge-msgs/s "
+        f"(~{tflops:.1f} TFLOP/s analytic)"
+    )
+    return eps
+
+
+def bench_stress_dense():
+    """Radius-union graphs (~10x fanout) + doubled message-passing depth."""
+    import jax
+
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        GNNConfig,
+    )
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        create_train_state, make_train_step,
+    )
+
+    cfg = GNNConfig(
+        max_nodes=768,
+        max_clusters=256,
+        ball_query_eps_square=150.0,
+        union_ball=True,  # kNN ∪ radius graph: ~10x fanout
+        edge_capacity_factor=10,  # E_cap = 10*k*N ≈ 77k edges/graph
+        graph_convolution_stem_channels=(64,) * 14,
+    )
+    batch = _batch(cfg, 2, num_objects=16, seed=1)
+    valid_e = float(np.asarray(batch.graph.edge_mask).sum(-1).mean())
+    state = create_train_state(cfg, jax.random.key(0))
+    dt = _time_steps(make_train_step(cfg), state, batch, 10)
+    edges = 2 * cfg.max_edges * 14
+    log(
+        f"stress_dense: {dt * 1e3:.2f} ms/step (E_cap={cfg.max_edges}, "
+        f"valid E≈{valid_e:.0f}/graph, 14 rounds) → "
+        f"{edges / dt:.3e} edge-msgs/s"
+    )
+    return edges / dt
+
+
+def bench_deploy():
+    import jax
 
     from graph_neural_network_for_radar_perception_tpu.config.config import (
         GNNConfig,
     )
     from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
-        SyntheticRadarDataset,
+        SyntheticRadarDataset, pad_frame,
     )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import RadarGNN
     from graph_neural_network_for_radar_perception_tpu.train.steps import (
-        create_train_state,
-        make_train_step,
+        init_params,
     )
+    import jax.numpy as jnp
 
-    cfg = GNNConfig(max_nodes=N_NODES, max_clusters=256)
-    log(f"jax devices: {jax.devices()}")
-    ds = SyntheticRadarDataset(cfg, seed=0, num_objects=8)
-    batch = jax.tree.map(jnp.asarray, next(ds.batches(BATCH)))
-    state = create_train_state(cfg, jax.random.key(0))
-    step = make_train_step(cfg)
+    cfg = GNNConfig(max_nodes=768, max_clusters=256)
+    params = init_params(cfg, jax.random.key(0))
+    ds = SyntheticRadarDataset(cfg, seed=2, num_objects=8)
+    g, _ = pad_frame(ds.sample_frame(), cfg)
+    g = jax.tree.map(jnp.asarray, g)
+    model = RadarGNN(cfg)
 
-    # Warmup / compile.
-    state, m = step(state, batch)
-    jax.block_until_ready(m["loss_total"])
+    @jax.jit
+    def run(p, graph):
+        return model.apply(
+            {"params": p}, graph, eps=1.4, method=RadarGNN.deploy
+        )
 
-    iters = 30
+    out = run(params, g)
+    jax.block_until_ready(out.obj_cls)
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m["loss_total"])
-    dt = time.perf_counter() - t0
-
-    edges_per_step = BATCH * cfg.max_edges * ROUNDS
-    eps = edges_per_step * iters / dt
+        out = run(params, g)
+    jax.block_until_ready(out.obj_cls)
+    dt = (time.perf_counter() - t0) / iters
     log(
-        f"jax: {iters} steps in {dt:.3f}s → {eps:.3e} edge-messages/s "
-        f"(step {dt / iters * 1e3:.2f} ms, E={cfg.max_edges})"
+        f"deploy: {dt * 1e3:.2f} ms/frame (incl. on-device DBSCAN) → "
+        f"{1 / dt:.1f} frames/s"
     )
-    return eps, cfg.max_edges
+    return 1 / dt
 
 
-def bench_torch(max_edges: int):
-    """Reference-style message passing in plain torch (CPU): per-round
-    gather endpoints → MLP([x_i‖x_j‖e]) → index_add scatter → update MLP,
-    over the same batch geometry, with backward + SGD step."""
+def bench_torch(e_cap: int, batch: int = 8):
+    """Reference-style message passing in plain torch (CPU): gather →
+    MLP([x_i‖x_j‖e]) → index_add scatter per round, fwd+bwd+SGD."""
     import torch
 
     torch.manual_seed(0)
-    dev = "cpu"
-    E = max_edges
+    N = 768
 
     class Block(torch.nn.Module):
         def __init__(self):
             super().__init__()
             self.msg = torch.nn.Sequential(
-                torch.nn.Linear(2 * WIDTH + WIDTH, MSG_HIDDEN),
+                torch.nn.Linear(3 * WIDTH, MSG_HIDDEN),
                 torch.nn.LeakyReLU(0.01),
                 torch.nn.Linear(MSG_HIDDEN, WIDTH),
                 torch.nn.LeakyReLU(0.01),
@@ -98,23 +184,22 @@ def bench_torch(max_edges: int):
                 torch.nn.LeakyReLU(0.01),
             )
 
-        def forward(self, x, e, senders, receivers):
-            m = self.msg(torch.cat([x[receivers], x[senders], e], dim=-1))
-            agg = torch.zeros_like(x).index_add_(0, receivers, m)
+        def forward(self, x, e, snd, rcv):
+            m = self.msg(torch.cat([x[rcv], x[snd], e], dim=-1))
+            agg = torch.zeros_like(x).index_add_(0, rcv, m)
             return x + self.upd(torch.cat([x, agg], dim=-1))
 
-    blocks = torch.nn.ModuleList([Block() for _ in range(ROUNDS)]).to(dev)
+    blocks = torch.nn.ModuleList([Block() for _ in range(ROUNDS)])
     opt = torch.optim.SGD(blocks.parameters(), lr=0.005, momentum=0.9)
-
-    xs = [torch.randn(N_NODES, WIDTH) for _ in range(BATCH)]
-    es = [torch.randn(E, WIDTH) for _ in range(BATCH)]
-    snd = [torch.randint(0, N_NODES, (E,)) for _ in range(BATCH)]
-    rcv = [torch.randint(0, N_NODES, (E,)) for _ in range(BATCH)]
+    xs = [torch.randn(N, WIDTH) for _ in range(batch)]
+    es = [torch.randn(e_cap, WIDTH) for _ in range(batch)]
+    snd = [torch.randint(0, N, (e_cap,)) for _ in range(batch)]
+    rcv = [torch.randint(0, N, (e_cap,)) for _ in range(batch)]
 
     def step():
         opt.zero_grad()
         total = 0.0
-        for b in range(BATCH):
+        for b in range(batch):
             x = xs[b]
             for blk in blocks:
                 x = blk(x, es[b], snd[b], rcv[b])
@@ -122,36 +207,73 @@ def bench_torch(max_edges: int):
         total.backward()
         opt.step()
 
-    step()  # warmup
+    step()
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         step()
-    dt = time.perf_counter() - t0
-    eps = BATCH * E * ROUNDS * iters / dt
-    log(
-        f"torch-cpu: {iters} steps in {dt:.3f}s → {eps:.3e} edge-messages/s"
-    )
+    dt = (time.perf_counter() - t0) / iters
+    eps = batch * e_cap * ROUNDS / dt
+    log(f"torch_cpu: {dt * 1e3:.1f} ms/step → {eps:.3e} edge-msgs/s")
     return eps
 
 
+def _run_subbench(name: str) -> float:
+    """Run one config in a fresh process: loading several large
+    executables in one process degrades step times ~30-60x on the remote
+    TPU tunnel (executable swapping), so each config gets its own
+    process and prints its value on the last stdout line."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--sub", name],
+        capture_output=True, text=True, timeout=560,
+    )
+    for line in proc.stderr.splitlines():
+        if any(line.startswith(p) for p in
+               ("train_b8", "stress_dense", "deploy", "torch_cpu")):
+            log(line)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{name} failed: {proc.stderr.strip().splitlines()[-3:]}"
+        )
+    return float(proc.stdout.strip().splitlines()[-1])
+
+
 def main():
-    jax_eps, max_edges = bench_jax()
+    if len(sys.argv) > 2 and sys.argv[1] == "--sub":
+        _enable_compile_cache()
+        fn = {
+            "train_b8": bench_train_b8,
+            "stress_dense": bench_stress_dense,
+            "deploy": bench_deploy,
+            "torch_cpu": lambda: bench_torch(768 * 20),
+        }[sys.argv[2]]
+        print(fn())
+        return
+
+    headline = _run_subbench("train_b8")
+    # The dense-stress and deploy configs each pay a multi-minute remote
+    # compile on the tunnelled TPU; run them only when budget allows
+    # (BENCH_FULL=1).
+    if os.environ.get("BENCH_FULL"):
+        for name in ("stress_dense", "deploy"):
+            try:
+                _run_subbench(name)
+            except Exception as exc:
+                log(f"{name} failed: {exc}")
     try:
-        torch_eps = bench_torch(max_edges)
-        ratio = jax_eps / torch_eps
-    except Exception as exc:  # torch baseline is best-effort
+        ratio = headline / _run_subbench("torch_cpu")
+    except Exception as exc:
         log(f"torch baseline failed: {exc}")
         ratio = float("nan")
     print(
-        json.dumps(
-            {
-                "metric": "edge_messages_per_s",
-                "value": jax_eps,
-                "unit": "edges/s",
-                "vs_baseline": ratio,
-            }
-        )
+        json.dumps({
+            "metric": "edge_messages_per_s",
+            "value": headline,
+            "unit": "edges/s",
+            "vs_baseline": ratio,
+        })
     )
 
 

@@ -31,6 +31,10 @@ class GNNConfig:
     k_number_nearest_points: int = 10
     dataset_augmentation: bool = True
     include_region_confidence: bool = True
+    # Use the union of kNN and ball-query edges (reference
+    # compute_adjacency_information_v2, graph_features.py:87-114) —
+    # the dense-graph stress configuration.
+    union_ball: bool = False
 
     # --- object taxonomy (yml OBJECT_CATEGORIES) ---------------------------
     object_classes: Sequence[str] = (

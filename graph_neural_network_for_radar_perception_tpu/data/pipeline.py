@@ -73,7 +73,7 @@ def preprocess_frame(
         return None
 
     nat = None
-    if use_native:
+    if use_native and not cfg.union_ball:
         from . import native as NAT
 
         nat = NAT.build_graph_native(
@@ -92,6 +92,7 @@ def preprocess_frame(
         adj = F.adjacency_info(
             data["meas_px"], data["meas_py"],
             cfg.ball_query_eps_square, cfg.k_number_nearest_points,
+            union_ball=cfg.union_ball,
         )
         senders = adj["adj_list"][0].astype(np.int32)
         receivers = adj["adj_list"][1].astype(np.int32)

@@ -68,6 +68,29 @@ def compute_proposals(
     )
 
 
+def rotation_invariant_cluster_features(xy: jax.Array, mask: jax.Array):
+    """Rotation/translation-invariant per-point cluster features
+    (modules/inference/feature.py:9-28, marked "not used" in the
+    reference but kept as a capability): shift points to the cluster mean,
+    rotate into the covariance eigenbasis, return [x', y', r, θ].
+
+    xy: [M, 2] one cluster's points; mask: [M]."""
+    m = mask.astype(xy.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    mu = jnp.sum(xy * m, axis=0) / cnt
+    err = (xy - mu) * m
+    sigma = (err.T @ err) / jnp.maximum(cnt - 1.0, 1.0)
+    _, evecs = jnp.linalg.eigh(sigma)
+    pts = (xy - mu) @ evecs
+    r = jnp.sqrt(jnp.sum(pts**2, axis=-1))
+    th = jnp.arctan2(pts[:, 1], pts[:, 0])
+    return jnp.where(
+        mask[:, None],
+        jnp.stack([pts[:, 0], pts[:, 1], r, th], axis=-1),
+        0.0,
+    )
+
+
 def cov_ellipse(mu, sigma, n_points: int = 32, chi2_scale: float = 9.21):
     """χ²-scaled covariance ellipse boundary points for visualisation
     (modules/inference/ellipse.py:4-37).  Returns [n_points, 2]."""

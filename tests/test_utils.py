@@ -84,3 +84,106 @@ def test_checkpoint_roundtrip(tmp_path):
     save_params_msgpack({"w": state["w"]}, path)
     loaded = load_params_msgpack({"w": jnp.zeros((2, 3))}, path)
     np.testing.assert_array_equal(np.asarray(loaded["w"]), np.asarray(state["w"]))
+
+
+def test_bucketed_batching_and_training():
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.bucketing import (
+        Bucket, bucketed_batches, make_bucketed_train_step,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset,
+    )
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        create_train_state,
+    )
+
+    cfg = tiny_test_config(max_nodes=128, max_clusters=64, batch_size=2)
+    buckets = [Bucket(64, 32, 4), Bucket(128, 64, 2)]
+    ds = SyntheticRadarDataset(cfg, seed=0, num_objects=2)
+
+    def frames():
+        for _ in range(24):
+            yield ds.sample_frame()
+
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_bucketed_train_step(cfg, buckets)
+    seen = set()
+    n_batches = 0
+    for bucket, batch in bucketed_batches(frames(), cfg, buckets):
+        assert batch.graph.node_feat.shape[1] == bucket.max_nodes
+        assert batch.graph.node_feat.shape[0] == bucket.batch_size
+        state, m = step(state, bucket, jax.tree.map(jnp.asarray, batch))
+        assert np.isfinite(float(m["loss_total"]))
+        seen.add(bucket.max_nodes)
+        n_batches += 1
+    assert n_batches >= 2
+
+
+def test_prediction_export_schema(tmp_path):
+    import dataclasses
+
+    from graph_neural_network_for_radar_perception_tpu.utils.export import (
+        PredictionFileSchemas, per_point_predictions_to_json,
+    )
+
+    preds = {b"uuid-1": 3, "uuid-2": 0}
+    out = per_point_predictions_to_json(
+        preds, str(tmp_path / "p.json"), {0: "CAR", 11: None},
+        PredictionFileSchemas.SemSeg,
+    )
+    loaded = json.load(open(tmp_path / "p.json"))
+    assert loaded["schema"] == 1
+    assert loaded["predictions"]["uuid-1"] == 3
+    assert loaded["label_mapping"]["0"] == "CAR" or loaded["label_mapping"].get("0") == "CAR"
+    assert "11" in loaded["label_mapping"] or 11 in out["label_mapping"]
+
+
+def test_rotation_invariant_features():
+    from graph_neural_network_for_radar_perception_tpu.infer.proposals import (
+        rotation_invariant_cluster_features,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(12, 2)).astype(np.float32) @ np.array(
+        [[2.0, 0.3], [0.3, 0.5]], np.float32
+    ) + 5.0
+    mask = np.ones(12, bool)
+    f = np.asarray(
+        rotation_invariant_cluster_features(jnp.asarray(pts), jnp.asarray(mask))
+    )
+    # invariance: rotating+shifting inputs leaves |features| unchanged (up
+    # to eigenvector sign flips)
+    th = 0.8
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                 np.float32)
+    pts2 = pts @ R.T + np.array([10.0, -3.0], np.float32)
+    f2 = np.asarray(
+        rotation_invariant_cluster_features(jnp.asarray(pts2), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(np.abs(f[:, :2]), np.abs(f2[:, :2]), atol=1e-3)
+    np.testing.assert_allclose(f[:, 2], f2[:, 2], atol=1e-3)  # radius
+
+
+def test_sequence_viewer_export(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset,
+    )
+    from graph_neural_network_for_radar_perception_tpu.viz.viewer import (
+        SequenceViewer,
+    )
+
+    cfg = tiny_test_config()
+    ds = SyntheticRadarDataset(cfg, seed=0, num_objects=1)
+    frames = [ds.sample_frame() for _ in range(3)]
+    v = SequenceViewer(frames, figsize=(4, 4))
+    gif = v.export(str(tmp_path / "seq"), gif=True)
+    assert os.path.exists(gif)
