@@ -1,0 +1,84 @@
+"""Scaling measurement harness: edges/s vs mesh size.
+
+BASELINE.md targets ≥80 % edges/s scaling efficiency on a 2-host slice.
+This harness measures the data-parallel and edge-partitioned train steps
+across mesh shapes.  On real multi-chip hardware the numbers reflect ICI
+collectives; on the virtual CPU mesh (tests) they validate orchestration
+only — the harness records which backend produced them.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.config import GNNConfig
+from ..core.graph import GraphBatch
+from ..train.steps import create_train_state
+from .mesh import make_mesh
+from .sharded import make_dp_train_step, make_edge_sharded_train_step
+
+
+def _time_step(step, state, batch, iters: int = 10) -> float:
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss_total"])
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(iters):
+        s, m = step(s, batch)
+    jax.block_until_ready(m["loss_total"])
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_scaling(
+    cfg: GNNConfig,
+    mesh_shapes: Sequence[Tuple[int, int]],
+    *,
+    batch_per_device: int = 2,
+    make_batch=None,
+    iters: int = 10,
+) -> List[Dict]:
+    """Weak-scaling sweep: batch grows with the data axis so per-device
+    work is constant; efficiency = throughput_n / (n · throughput_1).
+
+    mesh_shapes: (n_data, n_graph) pairs; (1, 1) is measured as the
+    single-device baseline automatically."""
+    if make_batch is None:
+        from ..data.pipeline import SyntheticRadarDataset
+
+        def make_batch(batch_size: int) -> GraphBatch:
+            ds = SyntheticRadarDataset(cfg, seed=0, num_objects=4)
+            return jax.tree.map(jnp.asarray, next(ds.batches(batch_size)))
+
+    state = create_train_state(cfg, jax.random.key(0))
+    rounds = len(cfg.graph_convolution_stem_channels)
+
+    results = []
+    base_eps: Optional[float] = None
+    for n_data, n_graph in mesh_shapes:
+        n_dev = n_data * n_graph
+        if n_dev > len(jax.devices()):
+            continue
+        mesh = make_mesh(n_data=n_data, n_graph=n_graph)
+        batch = make_batch(batch_per_device * n_data)
+        if n_graph > 1:
+            step = make_edge_sharded_train_step(cfg, mesh)
+            batch = step.place_batch(batch)
+        else:
+            step = make_dp_train_step(cfg, mesh)
+        dt = _time_step(step, state, batch, iters)
+        eps = batch_per_device * n_data * cfg.max_edges * rounds / dt
+        if base_eps is None:
+            base_eps = eps / n_dev  # per-device baseline
+        results.append({
+            "mesh": (n_data, n_graph),
+            "devices": n_dev,
+            "ms_per_step": dt * 1e3,
+            "edge_msgs_per_s": eps,
+            "efficiency": eps / (base_eps * n_dev),
+            "backend": jax.devices()[0].platform,
+        })
+    return results

@@ -12,6 +12,7 @@ the reference's python `skip_batch` (training.py:40-45).
 from __future__ import annotations
 
 import functools
+from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
@@ -159,13 +160,20 @@ def apply_if(ok, new_tree, old_tree):
     )
 
 
-def make_train_step(cfg: GNNConfig, use_fast_path: bool = False):
+def make_train_step(
+    cfg: GNNConfig, use_fast_path: bool = False, donate: bool = False
+):
     """(state, batch) → (state, metrics); single-device.  Sharded variants
-    live in parallel/."""
+    live in parallel/.
+
+    donate=True donates the TrainState so XLA updates params/momentum in
+    place (halves state HBM traffic); the input state is then CONSUMED —
+    callers must reassign it every step (the trainer does).  Leave False
+    when the old state is inspected after the call (tests, probes)."""
     loss_fn = make_loss_fn(cfg, use_fast_path)
     tx = make_optimizer(cfg)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: GraphBatch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch

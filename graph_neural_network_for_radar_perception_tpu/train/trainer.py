@@ -56,7 +56,7 @@ def train(
     if state is None:
         state = create_train_state(cfg, jax.random.key(cfg.seed))
     if train_step is None:
-        train_step = make_train_step(cfg)
+        train_step = make_train_step(cfg, donate=True)
     eval_step = make_eval_step(cfg)
     max_iters = max_iters if max_iters is not None else cfg.max_train_iter
 

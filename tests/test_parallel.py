@@ -102,3 +102,19 @@ def test_dryrun_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_scaling_harness_runs():
+    from graph_neural_network_for_radar_perception_tpu.parallel.scaling import (
+        measure_scaling,
+    )
+
+    cfg = tiny_test_config(batch_size=2)
+    res = measure_scaling(
+        cfg, [(1, 1), (2, 1), (2, 2)], batch_per_device=1, iters=2
+    )
+    assert len(res) == 3
+    assert res[0]["devices"] == 1 and res[2]["devices"] == 4
+    for r in res:
+        assert r["edge_msgs_per_s"] > 0
+        assert 0 < r["efficiency"] <= 4.0
