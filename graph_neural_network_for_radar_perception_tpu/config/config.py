@@ -97,6 +97,10 @@ class GNNConfig:
     # MultiStepLR γ=0.1 at 50% / 80% (set_param_for_training_gnn.py:50-56)
     lr_milestone_fracs: Tuple[float, float] = (0.5, 0.8)
     lr_gamma: float = 0.1
+    # Gradient accumulation (reference train_model_accumulate_grad,
+    # gnn/training.py:189-333): each train-step call is a micro-batch;
+    # grads are averaged and applied every k calls.
+    grad_accumulation_steps: int = 1
 
     # --- finetuning (yml FINETUNING) ---------------------------------------
     max_train_iter_finetuning: int = 10_000

@@ -49,11 +49,18 @@ def make_optimizer(cfg: GNNConfig) -> optax.GradientTransformation:
     """
     sched = lr_schedule(cfg)
     if cfg.optim == "adamw":
-        return optax.adamw(sched, weight_decay=cfg.weight_decay)
-    return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.sgd(sched, momentum=cfg.momentum, nesterov=False),
-    )
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(sched, momentum=cfg.momentum, nesterov=False),
+        )
+    if cfg.grad_accumulation_steps > 1:
+        # Average grads over k micro-batches, apply every k-th call —
+        # the reference's Σ (loss/k).backward() then one step
+        # (training.py:189-233).
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_steps)
+    return tx
 
 
 def dummy_inputs(cfg: GNNConfig) -> Tuple[RadarGraph, GraphLabels]:

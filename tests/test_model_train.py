@@ -125,3 +125,47 @@ class TestTrainStep:
         np.testing.assert_allclose(lr0, cfg.learning_rate)
         np.testing.assert_allclose(float(sched(m1 + 1)), lr0 * 0.1, rtol=1e-6)
         np.testing.assert_allclose(float(sched(m2 + 1)), lr0 * 0.01, rtol=1e-6)
+
+
+class TestGradAccumulation:
+    def test_accumulated_matches_large_batch(self):
+        """k micro-batches of size 1 with accumulation == one step on the
+        concatenated batch of size k (grads are mask-count-normalised per
+        micro-batch, so parity is approximate up to per-batch count
+        weighting; with identical micro-batches it is exact)."""
+        from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+            SyntheticRadarDataset, pad_frame, stack_batch,
+        )
+
+        cfg1 = tiny_test_config(batch_size=1, grad_accumulation_steps=2)
+        cfg2 = tiny_test_config(batch_size=2)
+        ds = SyntheticRadarDataset(cfg1, seed=13, num_objects=2)
+        fr = ds.sample_frame()
+        item = pad_frame(fr, cfg1)
+        b1 = to_jnp(stack_batch([item]))
+        b2 = to_jnp(stack_batch([item, item]))
+
+        s_acc = T.create_train_state(cfg1, jax.random.key(0))
+        s_big = T.TrainState(
+            s_acc.params,
+            T.make_optimizer(cfg2).init(s_acc.params),
+            jnp.zeros((), jnp.int32),
+        )
+        step_acc = T.make_train_step(cfg1)
+        step_big = T.make_train_step(cfg2)
+
+        # two micro-steps == one big step
+        s_acc, m = step_acc(s_acc, b1)
+        mid = jax.tree.leaves(s_acc.params)[0]
+        # params unchanged after first micro-step (accumulating)
+        np.testing.assert_array_equal(
+            np.asarray(mid), np.asarray(jax.tree.leaves(s_big.params)[0])
+        )
+        s_acc, m = step_acc(s_acc, b1)
+        s_big, m2 = step_big(s_big, b2)
+        for a, b in zip(
+            jax.tree.leaves(s_acc.params), jax.tree.leaves(s_big.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )

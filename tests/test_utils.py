@@ -187,3 +187,19 @@ def test_sequence_viewer_export(tmp_path):
     v = SequenceViewer(frames, figsize=(4, 4))
     gif = v.export(str(tmp_path / "seq"), gif=True)
     assert os.path.exists(gif)
+
+
+def test_multiprocess_loader_smoke():
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.mp_loader import (
+        MultiprocessBatches,
+    )
+
+    cfg = tiny_test_config()
+    with MultiprocessBatches(cfg, 2, num_workers=2, seed=0) as mpb:
+        b1 = next(mpb)
+        b2 = next(mpb)
+    assert b1.graph.node_feat.shape == (2, cfg.max_nodes, 6)
+    assert b2.graph.node_mask.any()
