@@ -24,8 +24,21 @@ issues separate gather/scatter ops.  The Pallas kernel instead:
 Padded edges carry the sentinel index N, whose one-hot row is all-zero, so
 they contribute nothing — no masking needed inside the kernel.
 
-The op is wrapped in jax.custom_vjp; the backward pass uses the standard
-XLA segment ops (a Pallas backward is a later optimisation).
+The op is wrapped in jax.custom_vjp.  Two backward implementations exist:
+
+* XLA (default): jax.vjp over the unfused reference — XLA fuses this well,
+  and end-to-end it is the fastest on the current TPU backend (full train
+  step 1.78 ms vs 22.9 ms with the Pallas backward in-program, measured
+  batch 8 / N=768 / E=15360 / 7 rounds).
+* Pallas (`PALLAS_BACKWARD=1` env or ``use_pallas_backward``): a second
+  kernel of the same shape that recomputes the tile's activations in VMEM
+  (flash-attention-style rematerialisation), walks the chain rule back
+  through act∘cnorm twice, and accumulates every weight/input cotangent
+  across the sequential grid — gather AND scatter transposes again ride
+  the MXU as one-hot matmuls.  Beats the XLA backward when the op is
+  benchmarked in isolation (2.7 vs 6.1 ms fwd+bwd) but composes badly
+  inside the full compiled step on the current backend; kept for future
+  backends and as the reference fused-backward recipe.
 """
 
 from __future__ import annotations
@@ -151,6 +164,208 @@ def _forward_impl(
     )
 
 
+_TINY = 1e-30  # guards 0/0 in the norm backward for all-constant rows
+
+
+def _cnorm_stats(x):
+    """Recompute channel-norm intermediates (Bessel std, matching
+    ops/norms.channel_norm)."""
+    d = x.shape[-1]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    u = x - mu
+    var = jnp.sum(u * u, axis=-1, keepdims=True) / max(d - 1, 1)
+    sd = jnp.sqrt(var)
+    xhat = u / (sd + EPS)
+    return u, sd, xhat
+
+
+def _cnorm_act_bwd(g, h, xhat, u, sd, gamma, slope, d):
+    """Cotangents through lrelu(γ·x̂+β): returns (g_pre, dγ, dβ) where
+    g_pre is ∂L/∂(norm input)."""
+    gh = g * jnp.where(h >= 0, 1.0, slope)
+    dgamma = jnp.sum(gh * xhat)
+    dbeta = jnp.sum(gh)
+    gxh = gamma * gh
+    c = jnp.sum(gxh * u, axis=-1, keepdims=True) / (
+        (sd + EPS) ** 2 * jnp.maximum(sd, _TINY) * max(d - 1, 1)
+    )
+    g_u = gxh / (sd + EPS) - u * c
+    g_pre = g_u - jnp.mean(g_u, axis=-1, keepdims=True)
+    return g_pre, dgamma, dbeta
+
+
+def _bwd_kernel(
+    senders_ref, receivers_ref, ef_ref, xa_ref, xb_ref,
+    w1e_ref, b1_ref, w2_ref, b2_ref, scal_ref, gout_ref,
+    gef_ref, dxa_ref, dxb_ref, dw1e_ref, db1_ref, dw2_ref, db2_ref,
+    dg1_ref, dbe1_ref, dg2_ref, dbe2_ref,
+):
+    i = pl.program_id(0)
+    n = xa_ref.shape[0]
+    te = senders_ref.shape[0]
+    h = xa_ref.shape[1]
+    d2 = w2_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (dxa_ref, dxb_ref, dw1e_ref, db1_ref, dw2_ref, db2_ref,
+                    dg1_ref, dbe1_ref, dg2_ref, dbe2_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    g1 = scal_ref[0, 0]
+    be1 = scal_ref[0, 1]
+    g2 = scal_ref[0, 2]
+    be2 = scal_ref[0, 3]
+    slope = scal_ref[0, 4]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
+    oh_s = (senders_ref[:] == iota_n).astype(jnp.float32)
+    oh_r = (receivers_ref[:] == iota_n).astype(jnp.float32)
+
+    # --- forward recompute (identical to _kernel) ---
+    pre1 = (
+        jnp.dot(oh_r, xa_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(oh_s, xb_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(ef_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:]
+    )
+    u1, sd1, xhat1 = _cnorm_stats(pre1)
+    h1 = g1 * xhat1 + be1
+    a1 = jnp.where(h1 >= 0, h1, slope * h1)
+    pre2 = jnp.dot(a1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    u2, sd2, xhat2 = _cnorm_stats(pre2)
+    h2 = g2 * xhat2 + be2
+
+    # --- backward ---
+    gm = jnp.dot(oh_r, gout_ref[:], preferred_element_type=jnp.float32)
+    g_pre2, dg2, dbe2 = _cnorm_act_bwd(gm, h2, xhat2, u2, sd2, g2, slope, d2)
+    dw2_ref[:] += jax.lax.dot_general(
+        a1, g_pre2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[:] += jnp.sum(g_pre2, axis=0, keepdims=True)
+    ga1 = jax.lax.dot_general(
+        g_pre2, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g_pre1, dg1, dbe1 = _cnorm_act_bwd(ga1, h1, xhat1, u1, sd1, g1, slope, h)
+    dw1e_ref[:] += jax.lax.dot_general(
+        ef_ref[:], g_pre1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[:] += jnp.sum(g_pre1, axis=0, keepdims=True)
+    gef_ref[:] = jax.lax.dot_general(
+        g_pre1, w1e_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxa_ref[:] += jax.lax.dot_general(
+        oh_r, g_pre1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxb_ref[:] += jax.lax.dot_general(
+        oh_s, g_pre1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg1_ref[:] += dg1[None, None]
+    dbe1_ref[:] += dbe1[None, None]
+    dg2_ref[:] += dg2[None, None]
+    dbe2_ref[:] += dbe2[None, None]
+
+
+def _backward_impl(
+    x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2, g_out,
+    *, slope: float, edge_tile: int, interpret: bool,
+):
+    n, d = x.shape
+    e, de = ef.shape
+    h = w1.shape[1]
+    d2 = w2.shape[1]
+    e_orig = e
+
+    rem = (-e) % edge_tile
+    if rem:
+        ef = jnp.pad(ef, ((0, rem), (0, 0)))
+        senders = jnp.pad(senders, (0, rem), constant_values=n)
+        receivers = jnp.pad(receivers, (0, rem), constant_values=n)
+        e = e + rem
+
+    w1r = w1[:d]
+    w1s = w1[d : 2 * d]
+    w1e = w1[2 * d :]
+    xa = x @ w1r
+    xb = x @ w1s
+
+    num_tiles = pl.cdiv(e, edge_tile)
+    scal = jnp.array([[g1, be1, g2, be2, slope]], dtype=jnp.float32)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((edge_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((edge_tile, de), lambda i: (i, 0)),
+            full((n, h)), full((n, h)), full((de, h)), full((1, h)),
+            full((h, d2)), full((1, d2)), full((1, 5)), full((n, d2)),
+        ],
+        out_specs=[
+            pl.BlockSpec((edge_tile, de), lambda i: (i, 0)),
+            full((n, h)), full((n, h)), full((de, h)), full((1, h)),
+            full((h, d2)), full((1, d2)),
+            full((1, 1)), full((1, 1)), full((1, 1)), full((1, 1)),
+        ],
+    )
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e, de), jnp.float32),
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((de, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, d2), jnp.float32),
+            jax.ShapeDtypeStruct((1, d2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e * (3 * n * h + n * (h + d2) + de * h * 2 + h * d2 * 2),
+            bytes_accessed=4 * (2 * e * (de + 1) + 4 * n * h + n * d2),
+            transcendentals=0,
+        ),
+    )(
+        senders.reshape(e, 1), receivers.reshape(e, 1), ef, xa, xb, w1e,
+        b1.reshape(1, h), w2, b2.reshape(1, d2), scal, g_out,
+    )
+    (gef, dxa, dxb, dw1e, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = outs
+
+    dx = dxa @ w1r.T + dxb @ w1s.T
+    dw1 = jnp.concatenate(
+        [
+            jax.lax.dot_general(x, dxa, (((0,), (0,)), ((), ()))),
+            jax.lax.dot_general(x, dxb, (((0,), (0,)), ((), ()))),
+            dw1e,
+        ],
+        axis=0,
+    )
+    return (
+        dx,
+        gef[:e_orig],
+        dw1,
+        db1.reshape(b1.shape),
+        dw2,
+        db2.reshape(b2.shape),
+        dg1[0, 0].reshape(jnp.shape(g1)),
+        dbe1[0, 0].reshape(jnp.shape(be1)),
+        dg2[0, 0].reshape(jnp.shape(g2)),
+        dbe2[0, 0].reshape(jnp.shape(be2)),
+    )
+
+
 def _xla_reference(
     x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
     *, slope: float,
@@ -195,8 +410,22 @@ def _fwd(x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
     return out, (x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2)
 
 
+def use_pallas_backward() -> bool:
+    import os
+
+    return os.environ.get("PALLAS_BACKWARD", "0") == "1"
+
+
 def _bwd(slope, edge_tile, interpret, res, g_out):
     (x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2) = res
+    if use_pallas_backward():
+        (dx, def_, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _backward_impl(
+            x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
+            g_out, slope=slope, edge_tile=edge_tile, interpret=interpret,
+        )
+        return (
+            dx, def_, None, None, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2,
+        )
 
     def f(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
         return _xla_reference(

@@ -54,7 +54,9 @@ def test_forward_non_divisible_tile(rng):
     )
 
 
-def test_gradients_match_xla(rng):
+@pytest.mark.parametrize("pallas_bwd", [False, True])
+def test_gradients_match_xla(rng, monkeypatch, pallas_bwd):
+    monkeypatch.setenv("PALLAS_BACKWARD", "1" if pallas_bwd else "0")
     args = [jnp.asarray(a) for a in make_problem(rng, n=64, e=300)]
 
     def loss_kernel(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
