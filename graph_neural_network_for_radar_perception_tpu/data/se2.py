@@ -57,6 +57,33 @@ def se2_inverse(T: np.ndarray) -> np.ndarray:
     return out
 
 
+def seq_to_car(x_seq, y_seq, ego_px, ego_py, ego_yaw):
+    """Global (sequence) coordinates → vehicle (car) frame at the given ego
+    pose.  Capability parity with the vendored helper package's
+    ``transform_detections_sequence_to_car``
+    (dataset/radar_scenes/radar_scenes/coordinate_transformation.py:15-48),
+    expressed through this module's SE(2) algebra: p_car = T_ego⁻¹ · p_seq.
+    """
+    T_inv = se2_inverse(se2(ego_px, ego_py, ego_yaw))
+    p = T_inv[..., :2, :2] @ np.stack(
+        np.broadcast_arrays(np.asarray(x_seq, np.float64),
+                            np.asarray(y_seq, np.float64)), axis=-2,
+    ) + T_inv[..., :2, 2:]
+    return p[..., 0, :], p[..., 1, :]
+
+
+def car_to_seq(x_car, y_car, ego_px, ego_py, ego_yaw):
+    """Inverse of :func:`seq_to_car`: vehicle frame → global (sequence)
+    coordinates, p_seq = T_ego · p_car.  (The vendored package only ships
+    the forward direction; the inverse falls out of the same algebra.)"""
+    T = se2(ego_px, ego_py, ego_yaw)
+    p = T[..., :2, :2] @ np.stack(
+        np.broadcast_arrays(np.asarray(x_car, np.float64),
+                            np.asarray(y_car, np.float64)), axis=-2,
+    ) + T[..., :2, 2:]
+    return p[..., 0, :], p[..., 1, :]
+
+
 def ego_compensate_window(
     px_list, py_list, vx_list, vy_list,
     ego_px, ego_py, ego_yaw,

@@ -21,6 +21,26 @@ class TestSE2:
             se2.se2_inverse(T) @ T, np.eye(3), atol=1e-12
         )
 
+    def test_seq_car_round_trip(self, rng):
+        x, y = rng.normal(size=7), rng.normal(size=7)
+        xc, yc = se2.seq_to_car(x, y, 3.0, -1.5, 0.8)
+        xs, ys = se2.car_to_seq(xc, yc, 3.0, -1.5, 0.8)
+        np.testing.assert_allclose(xs, x, atol=1e-12)
+        np.testing.assert_allclose(ys, y, atol=1e-12)
+
+    def test_seq_to_car_matches_vendored_matrix(self):
+        # Reference trafo_matrix_seq_to_car (coordinate_transformation.py:
+        # 15-30): [[c, s, -x·c - y·s], [-s, c, x·s - y·c]] applied to
+        # homogeneous [x_seq, y_seq, 1].
+        ex, ey, yaw = 2.0, -3.0, 0.6
+        c, s = np.cos(yaw), np.sin(yaw)
+        M = np.array([[c, s, -ex * c - ey * s], [-s, c, ex * s - ey * c]])
+        pts = np.array([[4.0, 1.0, 1.0], [-2.0, 5.0, 1.0]])
+        want = pts @ M.T
+        got_x, got_y = se2.seq_to_car(pts[:, 0], pts[:, 1], ex, ey, yaw)
+        np.testing.assert_allclose(got_x, want[:, 0], atol=1e-12)
+        np.testing.assert_allclose(got_y, want[:, 1], atol=1e-12)
+
     def test_ego_compensation_identity_when_static(self, rng):
         px = [rng.normal(size=5), rng.normal(size=3)]
         py = [rng.normal(size=5), rng.normal(size=3)]
