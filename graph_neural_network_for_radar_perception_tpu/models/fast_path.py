@@ -63,6 +63,7 @@ def fast_forward(
     use_pallas: bool = True,
     edge_tile: int = 512,
     interpret: bool = False,
+    mp_bf16: bool = False,
 ) -> GNNOutputs:
     assert cfg.norm_layer == "channel_normalization", (
         "fast path supports the shipped channel_normalization config"
@@ -100,7 +101,7 @@ def fast_forward(
 
         agg = fused_message_pass(
             x, e, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-            LEAKY_SLOPE, edge_tile, interpret,
+            LEAKY_SLOPE, edge_tile, interpret, mp_bf16,
         )
         upd = _ffn(
             pb["MLPStack_1"]["FFNBlock_0"],

@@ -39,6 +39,16 @@ The op is wrapped in jax.custom_vjp.  Two backward implementations exist:
   benchmarked in isolation (2.7 vs 6.1 ms fwd+bwd) but composes badly
   inside the full compiled step on the current backend; kept for future
   backends and as the reference fused-backward recipe.
+
+A ``bf16`` mode feeds every MXU dot bf16 operands (one-hot gather/scatter
+rows are exact in bf16; accumulation stays f32, backward stays f32).
+Measured at the shipped dims (N=768, E=15360, H=128) it is *slower* than
+f32 (3.0 vs 1.95 ms/step end-to-end) — the kernel is bound by one-hot
+construction and the VPU norm, not the MXU — so it defaults off; it's the
+right knob when scaling channel widths up, where the MXU share grows.
+Edge-tile sweep at the same dims: 256/512/1024/2048 → 3.4/2.9/2.0/2.3 ms
+isolated forward, but end-to-end 512 vs 1024 is within tunnel noise, so
+the default stays 512.
 """
 
 from __future__ import annotations
@@ -67,6 +77,7 @@ def _kernel(
     senders_ref, receivers_ref, ef_ref, xa_ref, xb_ref,
     w1e_ref, b1_ref, w2_ref, b2_ref, scal_ref,
     out_ref,
+    *, bf16: bool,
 ):
     i = pl.program_id(0)
     n = xa_ref.shape[0]
@@ -82,28 +93,39 @@ def _kernel(
     be2 = scal_ref[0, 3]
     slope = scal_ref[0, 4]
 
+    # bf16 mode: every MXU operand is bf16 (one-hot rows are exactly
+    # representable, so the gather/scatter dots stay EXACT up to the bf16
+    # rounding of the gathered values); accumulation is always f32.
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
-    oh_s = (senders_ref[:] == iota_n).astype(jnp.float32)
-    oh_r = (receivers_ref[:] == iota_n).astype(jnp.float32)
+    oh_s = (senders_ref[:] == iota_n).astype(dt)
+    oh_r = (receivers_ref[:] == iota_n).astype(dt)
 
     m1 = (
-        jnp.dot(oh_r, xa_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(oh_s, xb_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(ef_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(oh_r, xa_ref[:].astype(dt), preferred_element_type=jnp.float32)
+        + jnp.dot(oh_s, xb_ref[:].astype(dt), preferred_element_type=jnp.float32)
+        + jnp.dot(
+            ef_ref[:].astype(dt), w1e_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
         + b1_ref[:]
     )
     m1 = _cnorm_act(m1, g1, be1, slope)
-    m2 = jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    m2 = jnp.dot(
+        m1.astype(dt), w2_ref[:].astype(dt),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
     m2 = _cnorm_act(m2, g2, be2, slope)
     out_ref[:] += jnp.dot(
-        oh_r.T, m2, preferred_element_type=jnp.float32
+        oh_r.T, m2.astype(dt), preferred_element_type=jnp.float32
     )
 
 
 def _forward_impl(
     x, ef, senders, receivers,
     w1, b1, w2, b2, g1, be1, g2, be2,
-    *, slope: float, edge_tile: int, interpret: bool,
+    *, slope: float, edge_tile: int, interpret: bool, bf16: bool = False,
 ):
     n, d = x.shape
     e, de = ef.shape
@@ -148,8 +170,11 @@ def _forward_impl(
         ],
         out_specs=pl.BlockSpec((n, d2), lambda i: (0, 0)),
     )
+    if bf16:
+        xa = xa.astype(jnp.bfloat16)
+        xb = xb.astype(jnp.bfloat16)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, bf16=bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d2), jnp.float32),
         interpret=interpret,
@@ -384,28 +409,32 @@ def _xla_reference(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15)
 )
 def fused_message_pass(
     x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
     slope: float = 0.01, edge_tile: int = 512, interpret: bool = False,
+    bf16: bool = False,
 ):
     """agg[n] = Σ_{e: recv=n} msgMLP([x_recv ‖ x_send ‖ ef]).
 
     senders/receivers: int32 [E]; padded edges must carry sentinel N.
     w1: [(2D+De), H]; w2: [H, D2]; g/be: scalar norm affine pairs.
+    bf16 feeds the MXU bf16 operands with f32 accumulation (~8× matmul
+    throughput on TPU); the backward stays f32 (standard mixed precision —
+    gradients are taken at the f32 recompute of the forward).
     """
     return _forward_impl(
         x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-        slope=slope, edge_tile=edge_tile, interpret=interpret,
+        slope=slope, edge_tile=edge_tile, interpret=interpret, bf16=bf16,
     )
 
 
 def _fwd(x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-         slope, edge_tile, interpret):
+         slope, edge_tile, interpret, bf16):
     out = _forward_impl(
         x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-        slope=slope, edge_tile=edge_tile, interpret=interpret,
+        slope=slope, edge_tile=edge_tile, interpret=interpret, bf16=bf16,
     )
     return out, (x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2)
 
@@ -416,7 +445,7 @@ def use_pallas_backward() -> bool:
     return os.environ.get("PALLAS_BACKWARD", "0") == "1"
 
 
-def _bwd(slope, edge_tile, interpret, res, g_out):
+def _bwd(slope, edge_tile, interpret, bf16, res, g_out):
     (x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2) = res
     if use_pallas_backward():
         (dx, def_, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _backward_impl(

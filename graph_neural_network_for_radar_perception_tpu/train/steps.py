@@ -120,17 +120,20 @@ def batched_forward(model: RadarGNN, cfg: GNNConfig):
     return jax.vmap(single, in_axes=(None, 0, 0, 0))
 
 
-def make_loss_fn(cfg: GNNConfig, use_fast_path: bool = False) -> Callable:
+def make_loss_fn(
+    cfg: GNNConfig, use_fast_path: bool = False, mp_bf16: bool = False
+) -> Callable:
     """Batched loss.  use_fast_path routes the forward through
     models/fast_path.fast_forward (Pallas fused message kernel) — same
-    parameter tree, same numerics."""
+    parameter tree, same numerics.  mp_bf16 additionally runs the fused
+    kernel's matmuls with bf16 MXU operands (f32 accumulate/backward)."""
     if use_fast_path:
         from ..models.fast_path import fast_forward
 
         def single(params, graph, node2cluster, cluster_mask):
             return fast_forward(
                 params, graph, node2cluster, cfg.max_clusters,
-                cluster_mask, cfg,
+                cluster_mask, cfg, mp_bf16=mp_bf16,
             )
 
         fwd = jax.vmap(single, in_axes=(None, 0, 0, 0))
@@ -168,7 +171,8 @@ def apply_if(ok, new_tree, old_tree):
 
 
 def make_train_step(
-    cfg: GNNConfig, use_fast_path: bool = False, donate: bool = False
+    cfg: GNNConfig, use_fast_path: bool = False, donate: bool = False,
+    mp_bf16: bool = False,
 ):
     """(state, batch) → (state, metrics); single-device.  Sharded variants
     live in parallel/.
@@ -177,7 +181,7 @@ def make_train_step(
     place (halves state HBM traffic); the input state is then CONSUMED —
     callers must reassign it every step (the trainer does).  Leave False
     when the old state is inspected after the call (tests, probes)."""
-    loss_fn = make_loss_fn(cfg, use_fast_path)
+    loss_fn = make_loss_fn(cfg, use_fast_path, mp_bf16=mp_bf16)
     tx = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())

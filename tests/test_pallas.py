@@ -41,6 +41,42 @@ def test_forward_matches_xla(rng):
     )
 
 
+def test_forward_bf16_mode(rng):
+    # bf16 MXU operands, f32 accumulate: agrees with the f32 reference to
+    # bf16 rounding; gradients (f32 recompute) stay exact.
+    args = make_problem(rng)
+    got = fused_mp.fused_message_pass(
+        *[jnp.asarray(a) for a in args], 0.01, 256, True, True
+    )
+    want = fused_mp._xla_reference(
+        *[jnp.asarray(a) for a in args], slope=0.01
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=5e-2
+    )
+
+    # With a FIXED cotangent (linear loss) the bf16 kernel's gradient must
+    # match the f32 reference exactly-ish: the backward is an f32 recompute
+    # regardless of forward precision.
+    jargs = [jnp.asarray(a) for a in args]
+    cot = jnp.asarray(rng.normal(size=np.asarray(want).shape), jnp.float32)
+    g_bf = jax.grad(
+        lambda x: jnp.sum(
+            fused_mp.fused_message_pass(
+                x, *jargs[1:], 0.01, 256, True, True
+            ) * cot
+        )
+    )(jargs[0])
+    g_f32 = jax.grad(
+        lambda x: jnp.sum(
+            fused_mp._xla_reference(x, *jargs[1:], slope=0.01) * cot
+        )
+    )(jargs[0])
+    np.testing.assert_allclose(
+        np.asarray(g_bf), np.asarray(g_f32), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_forward_non_divisible_tile(rng):
     args = make_problem(rng, e=500)
     got = fused_mp.fused_message_pass(
