@@ -33,6 +33,7 @@ from .blocks import (
     GraphFeatureEncoding,
     LinkPredictions,
     NodeOffsetPredictions,
+    NodePredictions,
     NodeSegmentation,
     ObjectClassification,
 )
@@ -71,7 +72,7 @@ class RadarGNN(nn.Module):
 
     cfg: GNNConfig
 
-    def setup(self):
+    def _setup_trunk_and_shared_heads(self):
         cfg = self.cfg
         self.encode_node_feat = GraphFeatureEncoding(
             cfg.node_feat_enc_stem_channels, cfg.activation, cfg.norm_layer,
@@ -86,14 +87,6 @@ class RadarGNN(nn.Module):
             cfg.aggregation, cfg.activation, cfg.norm_layer, cfg.num_groups,
             graph_axis=cfg.graph_axis,
         )
-        self.predict_node = NodeSegmentation(
-            cfg.node_pred_stem_channels, cfg.num_classes, cfg.activation,
-            cfg.norm_layer, cfg.num_groups,
-        )
-        self.predict_offset = NodeOffsetPredictions(
-            cfg.node_pred_stem_channels, cfg.reg_offset_dim, cfg.activation,
-            cfg.norm_layer, cfg.num_groups,
-        )
         self.predict_link = LinkPredictions(
             cfg.num_blocks_to_compute_edge, cfg.link_pred_stem_channels,
             cfg.num_edge_classes, cfg.activation, cfg.norm_layer,
@@ -101,6 +94,18 @@ class RadarGNN(nn.Module):
         )
         self.predict_class = ObjectClassification(
             cfg.node_pred_stem_channels, cfg.num_classes, cfg.activation,
+            cfg.norm_layer, cfg.num_groups,
+        )
+
+    def setup(self):
+        cfg = self.cfg
+        self._setup_trunk_and_shared_heads()
+        self.predict_node = NodeSegmentation(
+            cfg.node_pred_stem_channels, cfg.num_classes, cfg.activation,
+            cfg.norm_layer, cfg.num_groups,
+        )
+        self.predict_offset = NodeOffsetPredictions(
+            cfg.node_pred_stem_channels, cfg.reg_offset_dim, cfg.activation,
             cfg.norm_layer, cfg.num_groups,
         )
 
@@ -185,3 +190,37 @@ class RadarGNN(nn.Module):
             node2cluster=node2cluster,
             num_clusters=num_clusters,
         )
+
+
+class RadarGNNv1(RadarGNN):
+    """Model_Inference_v1 (gnn_detector.py:204-313): identical trunk and
+    link/object heads, but node class + offset share one stem through the
+    fused ``NodePredictions`` head (gnn_blocks.py:392-439)."""
+
+    def setup(self):
+        cfg = self.cfg
+        self._setup_trunk_and_shared_heads()
+        self.predict_node_fused = NodePredictions(
+            cfg.node_pred_stem_channels, cfg.num_classes,
+            cfg.reg_offset_dim, cfg.activation, cfg.norm_layer,
+            cfg.num_groups,
+        )
+
+    def __call__(
+        self,
+        graph: RadarGraph,
+        node2cluster: jnp.ndarray,
+        num_clusters: int,
+        cluster_mask: jnp.ndarray,
+        extra_features: Optional[jnp.ndarray] = None,
+    ) -> GNNOutputs:
+        nm = graph.node_mask
+        x = self.trunk(graph, extra_features)
+        node_cls, node_off = self.predict_node_fused(x, nm)
+        edge_cls = self.predict_link(
+            x, graph.und_senders, graph.und_receivers, nm, graph.und_mask
+        )
+        obj_cls = self.predict_class(
+            x, node2cluster, num_clusters, nm, cluster_mask
+        )
+        return GNNOutputs(node_cls, node_off, edge_cls, obj_cls, x)

@@ -282,3 +282,41 @@ def test_gat_model_forward():
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(grads)
     )
+
+
+def test_v1_fused_node_head_model():
+    # Model_Inference_v1 (gnn_detector.py:204-313): node cls + offsets from
+    # one shared stem; no separate predict_node/predict_offset params.
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import (
+        RadarGNNv1,
+    )
+
+    cfg = tiny_test_config()
+    ds = SyntheticRadarDataset(cfg, seed=5, num_objects=2)
+    g, lbl = pad_frame(ds.sample_frame(), cfg)
+    g = jax.tree.map(jnp.asarray, g)
+    model = RadarGNNv1(cfg)
+    args = (g, jnp.asarray(lbl.node2cluster), cfg.max_clusters,
+            jnp.asarray(lbl.cluster_mask))
+    params = model.init(jax.random.key(0), *args)["params"]
+    assert "predict_node_fused" in params
+    assert "predict_node" not in params and "predict_offset" not in params
+    out = model.apply({"params": params}, *args)
+    assert out.node_cls.shape == (cfg.max_nodes, cfg.num_classes)
+    assert out.node_offsets.shape == (cfg.max_nodes, cfg.reg_offset_dim)
+    assert np.isfinite(np.asarray(out.node_cls)).all()
+
+    def loss(p):
+        o = model.apply({"params": p}, *args)
+        return jnp.sum(o.node_cls**2) + jnp.sum(o.node_offsets**2)
+
+    grads = jax.grad(loss)(params)
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(grads)
+    )
