@@ -104,14 +104,17 @@ def evaluate_detection_from_data(
         pm, pc = _pred_clusters_from_det(det)
         gm, gc = _filter_by_size(gm, gc, cluster_size_threshold)
         pm, pc = _filter_by_size(pm, pc, cluster_size_threshold)
-        if not gm or not pm:
-            continue
-        gt_a, pred_a = M.associate_clusters(
+        res = M.compute_associations(
             gm, pm, gc, pc, n_nodes=fr.n, eps=eps, criteria=criteria,
             gt_means=_means(gm, fr), pred_means=_means(pm, fr),
         )
-        if gt_a.size:
-            acc.update(gt_a, pred_a)
+        if res.gt_associated.size:
+            acc.update(res.gt_associated, res.pred_associated)
+        # Preserve the raw unassociated class lists of the empty-side
+        # conditions (detection_accuracy.py:252-273) so notebook-style
+        # aggregations over them stay reproducible.
+        acc.raw_gt.append(res.obj_class_gt)
+        acc.raw_pred.append(res.obj_class_pred)
     return acc
 
 

@@ -97,6 +97,75 @@ def greedy_association(
     return gt_assoc, pred_assoc
 
 
+class AssociationResult:
+    """Full return of the reference's compute_gt_and_pred_associations
+    (detection_accuracy.py:275-279): beyond the greedily-associated class
+    pairs, the raw unassociated class lists are preserved for the
+    empty-side conditions (:252-273) so notebook-style aggregations that
+    consume them stay reproducible.
+
+    Condition semantics (detection_accuracy.py:198-201):
+      both sides present → associated pairs filled, raw lists filled;
+      GT only            → raw obj_class_gt filled, everything else empty;
+      pred only          → raw obj_class_pred filled, everything else empty;
+      both empty         → all four empty.
+    """
+
+    __slots__ = ("gt_associated", "pred_associated", "obj_class_gt",
+                 "obj_class_pred")
+
+    def __init__(self, gt_associated, pred_associated, obj_class_gt,
+                 obj_class_pred):
+        self.gt_associated = gt_associated
+        self.pred_associated = pred_associated
+        self.obj_class_gt = obj_class_gt
+        self.obj_class_pred = obj_class_pred
+
+    def __iter__(self):  # (gt_a, pred_a) unpacking, as before
+        return iter((self.gt_associated, self.pred_associated))
+
+
+def compute_associations(
+    gt_members: List[np.ndarray],
+    pred_members: List[np.ndarray],
+    obj_class_gt: np.ndarray,
+    obj_class_pred: np.ndarray,
+    n_nodes: int,
+    *,
+    eps: float = 0.7,
+    criteria: str = "inv_iou",
+    gt_means: np.ndarray | None = None,
+    pred_means: np.ndarray | None = None,
+    false_class_label: int = 6,
+) -> AssociationResult:
+    """compute_gt_and_pred_associations equivalent incl. the raw-list
+    returns for the empty-side conditions (detection_accuracy.py:192-279)."""
+    empty = np.zeros((0,))
+    has_gt, has_pred = len(gt_members) > 0, len(pred_members) > 0
+    if has_gt and has_pred:
+        if criteria == "inv_iou":
+            dist = membership_iou_matrix(gt_members, pred_members, n_nodes)
+        elif criteria == "l2_norm":
+            dist = np.linalg.norm(
+                gt_means[:, None, :] - pred_means[None, :, :], axis=-1
+            )
+        else:
+            raise ValueError(criteria)
+        gt_a, pred_a = greedy_association(
+            dist, obj_class_gt, obj_class_pred, eps, false_class_label
+        )
+        return AssociationResult(
+            gt_a, pred_a, np.asarray(obj_class_gt),
+            np.asarray(obj_class_pred),
+        )
+    if has_gt:  # condition2: GT objects with no predictions
+        return AssociationResult(empty, empty, np.asarray(obj_class_gt), empty)
+    if has_pred:  # condition3: predictions with no GT
+        return AssociationResult(empty, empty, empty,
+                                 np.asarray(obj_class_pred))
+    return AssociationResult(empty, empty, empty, empty)  # condition4
+
+
 def associate_clusters(
     gt_members: List[np.ndarray],
     pred_members: List[np.ndarray],
@@ -110,19 +179,14 @@ def associate_clusters(
     pred_means: np.ndarray | None = None,
     false_class_label: int = 6,
 ):
-    """compute_gt_and_pred_associations equivalent
-    (detection_accuracy.py:192-273)."""
-    if criteria == "inv_iou":
-        dist = membership_iou_matrix(gt_members, pred_members, n_nodes)
-    elif criteria == "l2_norm":
-        dist = np.linalg.norm(
-            gt_means[:, None, :] - pred_means[None, :, :], axis=-1
-        )
-    else:
-        raise ValueError(criteria)
-    return greedy_association(
-        dist, obj_class_gt, obj_class_pred, eps, false_class_label
+    """Associated-pairs view of compute_associations (detection_accuracy.py
+    :192-273); returns (gt_assoc, pred_assoc)."""
+    res = compute_associations(
+        gt_members, pred_members, obj_class_gt, obj_class_pred, n_nodes,
+        eps=eps, criteria=criteria, gt_means=gt_means, pred_means=pred_means,
+        false_class_label=false_class_label,
     )
+    return res.gt_associated, res.pred_associated
 
 
 def filter_clusters_by_size(members, means, covs, sizes, classes, threshold):
@@ -146,6 +210,11 @@ class ConfusionAccumulator:
         self.num_classes = num_classes
         self.cm = np.zeros((num_classes, num_classes), dtype=np.int64)
         self.gt_count = np.zeros(num_classes, dtype=np.int64)
+        # Raw per-frame unassociated class lists (detection eval only;
+        # detection_accuracy.py:275-279 'obj_class_gt'/'obj_class_pred') —
+        # kept out of the JSON schema, available for notebook aggregations.
+        self.raw_gt: list = []
+        self.raw_pred: list = []
 
     def update(self, gt: np.ndarray, pred: np.ndarray):
         self.cm += confusion_matrix(gt, pred, self.num_classes)
@@ -162,4 +231,6 @@ class ConfusionAccumulator:
     def merge(self, other: "ConfusionAccumulator"):
         self.cm += other.cm
         self.gt_count += other.gt_count
+        self.raw_gt.extend(other.raw_gt)
+        self.raw_pred.extend(other.raw_pred)
         return self

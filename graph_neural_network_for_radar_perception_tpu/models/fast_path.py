@@ -64,11 +64,18 @@ def fast_forward(
     edge_tile: int = 512,
     interpret: bool = False,
     mp_bf16: bool = False,
+    pallas_backward: Optional[bool] = None,
 ) -> GNNOutputs:
     assert cfg.norm_layer == "channel_normalization", (
         "fast path supports the shipped channel_normalization config"
     )
     assert cfg.num_blocks_to_compute_edge == 1
+    if pallas_backward is None:
+        # Env default resolved at TRACE time (baked into the compiled
+        # step); pass explicitly for per-call control.
+        from ..ops.pallas.fused_mp import use_pallas_backward
+
+        pallas_backward = use_pallas_backward()
     n = graph.num_nodes
     # Sentinel-index padded edges so the kernel drops them without masks.
     senders = jnp.where(graph.edge_mask, graph.senders, n).astype(jnp.int32)
@@ -101,7 +108,7 @@ def fast_forward(
 
         agg = fused_message_pass(
             x, e, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-            LEAKY_SLOPE, edge_tile, interpret, mp_bf16,
+            LEAKY_SLOPE, edge_tile, interpret, mp_bf16, pallas_backward,
         )
         upd = _ffn(
             pb["MLPStack_1"]["FFNBlock_0"],

@@ -26,6 +26,7 @@ from ..config.config import GNNConfig
 from ..core.graph import RadarGraph
 from ..ops import segment as S
 from .blocks import FFNBlock, Linear, ScalarNorm, activation_fn
+from .gnn import RadarGNN
 
 
 class GATv2Conv(nn.Module):
@@ -119,55 +120,18 @@ class GraphAttention(nn.Module):
         return x
 
 
-class RadarGNNv2(nn.Module):
+class RadarGNNv2(RadarGNN):
     """Model_Inference_v2 (gnn_detector.py:316-416): same encoders/heads as
-    the flagship but a GATv2 neck."""
+    the flagship but a GATv2 neck.  Subclasses the flagship with the neck
+    factory overridden, so ``deploy`` (on-device DBSCAN proposals) works
+    here too — a capability extension; the reference's v2 has no
+    extract_proposals branch."""
 
-    cfg: GNNConfig
-
-    @nn.compact
-    def __call__(self, graph: RadarGraph, node2cluster, num_clusters,
-                 cluster_mask, extra_features=None):
-        from .blocks import (
-            GraphFeatureEncoding,
-            LinkPredictions,
-            NodeOffsetPredictions,
-            NodeSegmentation,
-            ObjectClassification,
-        )
-        from .gnn import GNNOutputs
-
+    def _make_neck(self):
         cfg = self.cfg
-        nm, em = graph.node_mask, graph.edge_mask
-        x = GraphFeatureEncoding(
-            cfg.node_feat_enc_stem_channels, cfg.activation, cfg.norm_layer,
-            cfg.num_groups, name="encode_node_feat",
-        )(graph.node_feat, nm)
-        e = GraphFeatureEncoding(
-            cfg.edge_feat_enc_stem_channels, cfg.activation, cfg.norm_layer,
-            cfg.num_groups, name="encode_edge_feat",
-        )(graph.edge_feat, em)
-        x = GraphAttention(
+        # Same call signature and submodule name as the residual-conv neck
+        # → same param-tree slot ("pass_messages").
+        return GraphAttention(
             cfg.graph_convolution_stem_channels,
             cfg.hidden_node_channels_gat, cfg.num_heads_gat, cfg.activation,
-            name="pass_messages",
-        )(x, e, graph.senders, graph.receivers, nm, em, extra_features)
-
-        node_cls = NodeSegmentation(
-            cfg.node_pred_stem_channels, cfg.num_classes, cfg.activation,
-            cfg.norm_layer, cfg.num_groups, name="predict_node",
-        )(x, nm)
-        node_off = NodeOffsetPredictions(
-            cfg.node_pred_stem_channels, cfg.reg_offset_dim, cfg.activation,
-            cfg.norm_layer, cfg.num_groups, name="predict_offset",
-        )(x, nm)
-        edge_cls = LinkPredictions(
-            cfg.num_blocks_to_compute_edge, cfg.link_pred_stem_channels,
-            cfg.num_edge_classes, cfg.activation, cfg.norm_layer,
-            cfg.num_groups, name="predict_link",
-        )(x, graph.und_senders, graph.und_receivers, nm, graph.und_mask)
-        obj_cls = ObjectClassification(
-            cfg.node_pred_stem_channels, cfg.num_classes, cfg.activation,
-            cfg.norm_layer, cfg.num_groups, name="predict_class",
-        )(x, node2cluster, num_clusters, nm, cluster_mask)
-        return GNNOutputs(node_cls, node_off, edge_cls, obj_cls, x)
+        )

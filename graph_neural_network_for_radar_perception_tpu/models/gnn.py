@@ -72,6 +72,15 @@ class RadarGNN(nn.Module):
 
     cfg: GNNConfig
 
+    def _make_neck(self):
+        """Message-passing neck factory; v2 overrides with the GAT neck."""
+        cfg = self.cfg
+        return GraphConvolution(
+            cfg.graph_convolution_stem_channels, cfg.msg_mlp_hidden_dim,
+            cfg.aggregation, cfg.activation, cfg.norm_layer, cfg.num_groups,
+            graph_axis=cfg.graph_axis,
+        )
+
     def _setup_trunk_and_shared_heads(self):
         cfg = self.cfg
         self.encode_node_feat = GraphFeatureEncoding(
@@ -82,11 +91,7 @@ class RadarGNN(nn.Module):
             cfg.edge_feat_enc_stem_channels, cfg.activation, cfg.norm_layer,
             cfg.num_groups,
         )
-        self.pass_messages = GraphConvolution(
-            cfg.graph_convolution_stem_channels, cfg.msg_mlp_hidden_dim,
-            cfg.aggregation, cfg.activation, cfg.norm_layer, cfg.num_groups,
-            graph_axis=cfg.graph_axis,
-        )
+        self.pass_messages = self._make_neck()
         self.predict_link = LinkPredictions(
             cfg.num_blocks_to_compute_edge, cfg.link_pred_stem_channels,
             cfg.num_edge_classes, cfg.activation, cfg.norm_layer,
@@ -119,6 +124,11 @@ class RadarGNN(nn.Module):
             x, e, graph.senders, graph.receivers, nm, em, extra_features
         )
         return x
+
+    def _node_heads(self, x, nm):
+        """(node_cls, node_off) — variants override this so ``deploy``
+        works for every model family (v1 routes through the fused head)."""
+        return self.predict_node(x, nm), self.predict_offset(x, nm)
 
     def __call__(
         self,
@@ -153,8 +163,7 @@ class RadarGNN(nn.Module):
         nm = graph.node_mask
         n = graph.num_nodes
         x = self.trunk(graph, extra_features)
-        node_cls = self.predict_node(x, nm)
-        node_off = self.predict_offset(x, nm)
+        node_cls, node_off = self._node_heads(x, nm)
         edge_cls = self.predict_link(
             x, graph.und_senders, graph.und_receivers, nm, graph.und_mask
         )
@@ -195,7 +204,12 @@ class RadarGNN(nn.Module):
 class RadarGNNv1(RadarGNN):
     """Model_Inference_v1 (gnn_detector.py:204-313): identical trunk and
     link/object heads, but node class + offset share one stem through the
-    fused ``NodePredictions`` head (gnn_blocks.py:392-439)."""
+    fused ``NodePredictions`` head (gnn_blocks.py:392-439).
+
+    ``deploy`` (inherited) routes through the fused head via
+    ``_node_heads`` — the reference's Model_Inference_v1 has no
+    extract_proposals branch (gnn_detector.py:291-313), so this is a
+    capability extension, not a port."""
 
     def setup(self):
         cfg = self.cfg
@@ -205,6 +219,9 @@ class RadarGNNv1(RadarGNN):
             cfg.reg_offset_dim, cfg.activation, cfg.norm_layer,
             cfg.num_groups,
         )
+
+    def _node_heads(self, x, nm):
+        return self.predict_node_fused(x, nm)
 
     def __call__(
         self,
@@ -216,7 +233,7 @@ class RadarGNNv1(RadarGNN):
     ) -> GNNOutputs:
         nm = graph.node_mask
         x = self.trunk(graph, extra_features)
-        node_cls, node_off = self.predict_node_fused(x, nm)
+        node_cls, node_off = self._node_heads(x, nm)
         edge_cls = self.predict_link(
             x, graph.und_senders, graph.und_receivers, nm, graph.und_mask
         )

@@ -30,7 +30,9 @@ The op is wrapped in jax.custom_vjp.  Two backward implementations exist:
   and end-to-end it is the fastest on the current TPU backend (full train
   step 1.78 ms vs 22.9 ms with the Pallas backward in-program, measured
   batch 8 / N=768 / E=15360 / 7 rounds).
-* Pallas (`PALLAS_BACKWARD=1` env or ``use_pallas_backward``): a second
+* Pallas (``pallas_backward=True`` — an explicit nondiff argument;
+  ``use_pallas_backward()`` only resolves the PALLAS_BACKWARD env default
+  at trace time for callers that want an env knob): a second
   kernel of the same shape that recomputes the tile's activations in VMEM
   (flash-attention-style rematerialisation), walks the chain rule back
   through act∘cnorm twice, and accumulates every weight/input cotangent
@@ -409,12 +411,12 @@ def _xla_reference(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16)
 )
 def fused_message_pass(
     x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
     slope: float = 0.01, edge_tile: int = 512, interpret: bool = False,
-    bf16: bool = False,
+    bf16: bool = False, pallas_backward: bool = False,
 ):
     """agg[n] = Σ_{e: recv=n} msgMLP([x_recv ‖ x_send ‖ ef]).
 
@@ -423,6 +425,10 @@ def fused_message_pass(
     bf16 feeds the MXU bf16 operands with f32 accumulation (~8× matmul
     throughput on TPU); the backward stays f32 (standard mixed precision —
     gradients are taken at the f32 recompute of the forward).
+    pallas_backward selects the fused Pallas backward kernel instead of the
+    XLA vjp over the unfused reference; it is an explicit nondiff argument
+    (NOT an env var) so the choice is visible at every call site and in the
+    jit cache key.
     """
     return _forward_impl(
         x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
@@ -431,7 +437,7 @@ def fused_message_pass(
 
 
 def _fwd(x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-         slope, edge_tile, interpret, bf16):
+         slope, edge_tile, interpret, bf16, pallas_backward):
     out = _forward_impl(
         x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
         slope=slope, edge_tile=edge_tile, interpret=interpret, bf16=bf16,
@@ -440,14 +446,18 @@ def _fwd(x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
 
 
 def use_pallas_backward() -> bool:
+    """Read the PALLAS_BACKWARD env default ONCE, at trace time.  Call sites
+    that jit must treat this as a compile-time constant: toggling the env
+    after a step has compiled has no effect until a fresh trace.  Prefer
+    passing ``pallas_backward=`` explicitly."""
     import os
 
     return os.environ.get("PALLAS_BACKWARD", "0") == "1"
 
 
-def _bwd(slope, edge_tile, interpret, bf16, res, g_out):
+def _bwd(slope, edge_tile, interpret, bf16, pallas_backward, res, g_out):
     (x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2) = res
-    if use_pallas_backward():
+    if pallas_backward:
         (dx, def_, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _backward_impl(
             x, ef, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
             g_out, slope=slope, edge_tile=edge_tile, interpret=interpret,

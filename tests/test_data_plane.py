@@ -320,3 +320,43 @@ def test_v1_fused_node_head_model():
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(grads)
     )
+
+
+def test_variant_deploy_paths():
+    """RadarGNNv1/v2 must support deploy (on-device DBSCAN proposals):
+    v1 routes node heads through the fused NodePredictions head, v2
+    through its GAT trunk — capability extensions over the reference,
+    whose v1/v2 have no extract_proposals branch (gnn_detector.py:291-313).
+    Regression for round-1 ADVICE (v1 inherited a deploy that referenced
+    undefined submodules)."""
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gat import (
+        RadarGNNv2,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import (
+        RadarGNN, RadarGNNv1,
+    )
+
+    cfg = tiny_test_config(hidden_node_channels_gat=32, num_heads_gat=4)
+    ds = SyntheticRadarDataset(cfg, seed=7, num_objects=2)
+    g, lbl = pad_frame(ds.sample_frame(), cfg)
+    g = jax.tree.map(jnp.asarray, g)
+    init_args = (g, jnp.asarray(lbl.node2cluster), cfg.max_clusters,
+                 jnp.asarray(lbl.cluster_mask))
+    for cls in (RadarGNN, RadarGNNv1, RadarGNNv2):
+        model = cls(cfg)
+        params = model.init(jax.random.key(0), *init_args)["params"]
+        out = model.apply(
+            {"params": params}, g, eps=1.4, method=cls.deploy
+        )
+        assert out.node_cls.shape == (cfg.max_nodes, cfg.num_classes)
+        assert out.node_offsets.shape == (cfg.max_nodes, cfg.reg_offset_dim)
+        assert np.isfinite(np.asarray(out.centers)).all()
+        n2c = np.asarray(out.node2cluster)
+        nm = np.asarray(g.node_mask)
+        assert (n2c[nm] < int(out.num_clusters)).all(), cls.__name__

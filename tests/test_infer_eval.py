@@ -189,3 +189,62 @@ class TestFinetune:
                 changed.append(top)
         assert changed, "object head params should have moved"
         assert set(changed) == {"predict_class"}, set(changed)
+
+
+class TestAssociationRawLists:
+    """compute_associations must preserve the raw unassociated class lists
+    for the empty-side conditions (detection_accuracy.py:252-279)."""
+
+    def test_both_sides_present(self):
+        from graph_neural_network_for_radar_perception_tpu.eval import (
+            metrics as M,
+        )
+
+        gm = [np.array([0, 1]), np.array([2, 3])]
+        pm = [np.array([0, 1])]
+        res = M.compute_associations(
+            gm, pm, np.array([1, 2]), np.array([1]), n_nodes=6, eps=0.7
+        )
+        assert res.gt_associated.size == 1
+        np.testing.assert_array_equal(res.obj_class_gt, [1, 2])
+        np.testing.assert_array_equal(res.obj_class_pred, [1])
+        # tuple-unpacking stays backward compatible
+        gt_a, pred_a = res
+        assert gt_a.size == 1 and pred_a.size == 1
+
+    def test_gt_only(self):
+        from graph_neural_network_for_radar_perception_tpu.eval import (
+            metrics as M,
+        )
+
+        res = M.compute_associations(
+            [np.array([0, 1])], [], np.array([3]), np.zeros((0,)), n_nodes=4
+        )
+        assert res.gt_associated.size == 0
+        np.testing.assert_array_equal(res.obj_class_gt, [3])
+        assert res.obj_class_pred.size == 0
+
+    def test_pred_only(self):
+        from graph_neural_network_for_radar_perception_tpu.eval import (
+            metrics as M,
+        )
+
+        res = M.compute_associations(
+            [], [np.array([0])], np.zeros((0,)), np.array([4]), n_nodes=4
+        )
+        assert res.obj_class_gt.size == 0
+        np.testing.assert_array_equal(res.obj_class_pred, [4])
+
+    def test_both_empty(self):
+        from graph_neural_network_for_radar_perception_tpu.eval import (
+            metrics as M,
+        )
+
+        res = M.compute_associations(
+            [], [], np.zeros((0,)), np.zeros((0,)), n_nodes=4
+        )
+        assert all(
+            a.size == 0
+            for a in (res.gt_associated, res.pred_associated,
+                      res.obj_class_gt, res.obj_class_pred)
+        )

@@ -91,14 +91,15 @@ def test_forward_non_divisible_tile(rng):
 
 
 @pytest.mark.parametrize("pallas_bwd", [False, True])
-def test_gradients_match_xla(rng, monkeypatch, pallas_bwd):
-    monkeypatch.setenv("PALLAS_BACKWARD", "1" if pallas_bwd else "0")
+def test_gradients_match_xla(rng, pallas_bwd):
+    # Backward selection is an explicit nondiff argument (not an env var),
+    # so it is visible in the jit cache key.
     args = [jnp.asarray(a) for a in make_problem(rng, n=64, e=300)]
 
     def loss_kernel(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
         out = fused_mp.fused_message_pass(
             x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
-            0.01, 128, True,
+            0.01, 128, True, False, pallas_bwd,
         )
         return jnp.sum(out * out)
 
