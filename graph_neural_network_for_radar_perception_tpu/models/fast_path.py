@@ -52,6 +52,22 @@ def _head(p, x):
     return x @ d["kernel"] + d["bias"]
 
 
+def default_mp_impl(cfg: GNNConfig) -> str:
+    """Pick the message-passing kernel for a config.
+
+    "csr" (ops/pallas/csr_mp.py) needs the window-span contract: every
+    valid node of the symmetrised-kNN graph has degree ≥ min(k, n_valid−1),
+    bounding the destination span of an edge tile by TE/k.  Gate on k and
+    the standard 7-dim edge feature layout (for the reversal sign
+    pattern); otherwise fall back to the round-1 full one-hot kernel."""
+    if (
+        cfg.k_number_nearest_points >= 4
+        and cfg.input_edge_feat_dim == 7
+    ):
+        return "csr"
+    return "onehot"
+
+
 def fast_forward(
     params,
     graph: RadarGraph,
@@ -65,17 +81,21 @@ def fast_forward(
     interpret: bool = False,
     mp_bf16: bool = False,
     pallas_backward: Optional[bool] = None,
+    mp_impl: Optional[str] = None,  # "csr" | "onehot"
+    window: int = 256,
 ) -> GNNOutputs:
     assert cfg.norm_layer == "channel_normalization", (
         "fast path supports the shipped channel_normalization config"
     )
     assert cfg.num_blocks_to_compute_edge == 1
+    if mp_impl is None:
+        mp_impl = default_mp_impl(cfg)
     if pallas_backward is None:
         # Env default resolved at TRACE time (baked into the compiled
         # step); pass explicitly for per-call control.
         from ..ops.pallas.fused_mp import use_pallas_backward
 
-        pallas_backward = use_pallas_backward()
+        pallas_backward = use_pallas_backward() or mp_impl == "csr"
     n = graph.num_nodes
     # Sentinel-index padded edges so the kernel drops them without masks.
     senders = jnp.where(graph.edge_mask, graph.senders, n).astype(jnp.int32)
@@ -87,8 +107,22 @@ def fast_forward(
         params["encode_node_feat"]["MLPStack_0"], graph.node_feat,
         first_unnormalized=True,
     )
+    if mp_impl == "csr":
+        # Reversed-enumeration trick (ops/pallas/csr_mp.py): walk each
+        # directed edge (r→s) at the row-major position of (s→r), so the
+        # destination list is the already-sorted senders array.  The raw
+        # edge features of the reversed edges are an elementwise sign
+        # flip; encoding the flipped features yields each directed edge's
+        # encoding exactly once, just enumerated differently.
+        from ..ops.pallas.csr_mp import (
+            fused_message_pass_csr, reverse_edge_features,
+        )
+
+        edge_feat_in = reverse_edge_features(graph.edge_feat)
+    else:
+        edge_feat_in = graph.edge_feat
     e = _stack(
-        params["encode_edge_feat"]["MLPStack_0"], graph.edge_feat,
+        params["encode_edge_feat"]["MLPStack_0"], edge_feat_in,
         first_unnormalized=True,
     )
     e = jnp.where(graph.edge_mask[:, None], e, 0.0)
@@ -106,10 +140,20 @@ def fast_forward(
         g2 = msg1["ScalarNorm_0"]["gamma"][0]
         be2 = msg1["ScalarNorm_0"]["beta"][0]
 
-        agg = fused_message_pass(
-            x, e, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
-            LEAKY_SLOPE, edge_tile, interpret, mp_bf16, pallas_backward,
-        )
+        if mp_impl == "csr":
+            # dst = senders (sorted), src = receivers: message for the
+            # directed edge (receivers[p] → senders[p]) whose receiver is
+            # senders[p]; w1 row order [x_recv ‖ x_send ‖ e] is unchanged.
+            agg = fused_message_pass_csr(
+                x, e, receivers, senders, w1, b1, w2, b2, g1, be1, g2, be2,
+                LEAKY_SLOPE, edge_tile, window, interpret, mp_bf16,
+                pallas_backward,
+            )
+        else:
+            agg = fused_message_pass(
+                x, e, senders, receivers, w1, b1, w2, b2, g1, be1, g2, be2,
+                LEAKY_SLOPE, edge_tile, interpret, mp_bf16, pallas_backward,
+            )
         upd = _ffn(
             pb["MLPStack_1"]["FFNBlock_0"],
             jnp.concatenate([x, agg], axis=-1),

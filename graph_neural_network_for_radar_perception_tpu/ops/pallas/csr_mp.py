@@ -1,0 +1,510 @@
+"""CSR (destination-sorted) fused message-passing Pallas kernel.
+
+Second-generation TPU kernel for the edge gather → message-MLP →
+scatter-add hot loop (replacing torch_geometric's ``MessagePassing.
+propagate``, reference modules/neural_net/gnn/gnn_blocks.py:106-113).
+Supersedes the round-1 one-hot kernel (ops/pallas/fused_mp.py), whose
+gather/scatter did O(E·N·H) MXU work via full `[TE, N]` one-hot matmuls.
+
+Key ideas
+=========
+
+1. **The row-major edge list is already CSR.**  The directed edge set of a
+   symmetrised kNN/ball graph is symmetric, and the canonical edge list is
+   row-major over the adjacency (= sorted by sender, ops/graph_build.py).
+   Enumerating each position p as the *reversed* edge (receivers[p] →
+   senders[p]) therefore walks the same edge set sorted by **destination**
+   — no sort, no permutation, no second edge array.  Only the raw edge
+   features must be those of the reversed edge, which is an elementwise
+   sign flip (``reverse_edge_features``): dx/dy/dvx/dvy/dt are
+   antisymmetric under edge reversal, dl/dvl are norms
+   (data/features.py `compute_edge_features`, reference
+   modules/compute_features/graph_features.py:147-164).
+
+2. **Windowed destination one-hots.**  With destinations sorted, the
+   destinations of one TE-edge tile span a small contiguous node window:
+   every valid node of a symmetrised kNN graph has out/in degree
+   ≥ min(k, n_valid−1), so the span of TE consecutive edges is at most
+   TE/min_degree + alignment.  The destination gather AND the scatter-add
+   use a `[TE, W]` one-hot against a per-tile window (W=256 default)
+   instead of `[TE, N]` — O(E·W) work independent of node capacity.
+   Per-tile window bases travel in SMEM.
+
+3. **Gather raw x (D wide), not per-round partials (H wide).**  The
+   first message layer [x_dst ‖ x_src ‖ e] @ W1 splits into
+   x_dst@W1r + x_src@W1s + e@W1e; gathering raw D=64-wide node rows and
+   multiplying by W1r/W1s inside the tile does ~half the gather MXU work
+   of gathering precomputed H=128-wide partials.
+
+4. **Backward without serial accumulation.**  The fused backward
+   recomputes the tile's activations (flash-style) and emits weight
+   gradients as **per-tile partials** `[C, ...]` summed by XLA outside —
+   only the dx accumulator crosses grid steps, unlike the round-1
+   backward's 11 serially-accumulated outputs.
+
+Window-span contract: callers must guarantee that every TE consecutive
+sorted destinations span < W−8 node ids.  True for symmetrised-kNN-based
+graphs when min(k, n_valid−1) ≥ ceil(TE/(W−8)) — the shipped config has
+k=10, TE=512, W=256 (bound 52 ≪ 256).  ``window_span_ok`` checks a
+concrete graph; out-of-window edges are silently dropped by the kernel,
+so the fast path gates on config k and tests assert the contract.
+
+MXU work per TE-tile (D=64, De=64, H=128, D2=64, W=256, N=768 shipped):
+dst-gather TE·W·D + src-gather TE·N·D + 3 first-layer mms TE·D·H·3 +
+second layer TE·H·D2 + scatter TE·W·D2 ≈ 59M MACs vs 134M for the
+round-1 kernel — 2.3× less, and the remaining O(E·N·D) term carries the
+minimum feature width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_mp import _cnorm_act, _cnorm_act_bwd, _cnorm_stats, _xla_reference
+
+# Sign of each raw edge feature under edge reversal (s→r) ↦ (r→s):
+# [dx, dy, dl, dvx, dvy, dvl, dt] — see data/features.py compute_edge_features
+# (reference graph_features.py:147-164).
+EDGE_FEATURE_REVERSAL_SIGNS = (-1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0)
+
+
+def reverse_edge_features(ef: jax.Array) -> jax.Array:
+    """Raw features of every reversed directed edge, elementwise.
+
+    ef: [..., E, 7] raw edge features in row-major order; returns the raw
+    features of (receiver → sender) at the same positions.  Padded edges
+    (zero rows) stay zero."""
+    if ef.shape[-1] != len(EDGE_FEATURE_REVERSAL_SIGNS):
+        raise ValueError(
+            f"edge feature dim {ef.shape[-1]} != 7; the reversal sign "
+            "pattern only applies to the standard feature layout"
+        )
+    signs = jnp.asarray(EDGE_FEATURE_REVERSAL_SIGNS, dtype=ef.dtype)
+    return ef * signs
+
+
+def window_span_ok(dst, edge_mask, edge_tile: int, window: int) -> jax.Array:
+    """True iff every edge_tile-chunk of the (sorted) destination list
+    spans < window-8 node ids — the contract the kernel needs."""
+    import numpy as np
+
+    dst = np.asarray(dst)
+    mask = np.asarray(edge_mask)
+    e = dst.shape[0]
+    ok = True
+    for c0 in range(0, e, edge_tile):
+        chunk = dst[c0 : c0 + edge_tile][mask[c0 : c0 + edge_tile]]
+        if chunk.size:
+            ok &= int(chunk.max()) - int(chunk.min()) < window - 8
+    return ok
+
+
+def _layout(dst, n, edge_tile, window):
+    """Per-chunk window bases + window-local destination indices.
+
+    dst: [E] int32 sorted destinations with sentinel n for padded edges
+    (E a multiple of edge_tile).  Returns (bases [C,1] int32, dst_loc
+    [E] int32 with `window` as the no-match sentinel)."""
+    firsts = dst[::edge_tile]
+    bases = jnp.clip((firsts // 8) * 8, 0, max(n - window, 0))
+    bases = bases.astype(jnp.int32)
+    loc = dst - jnp.repeat(bases, edge_tile, total_repeat_length=dst.shape[0])
+    # Sentinel / out-of-window edges → `window` (matches no one-hot column).
+    loc = jnp.where((dst < n) & (loc >= 0) & (loc < window), loc, window)
+    return bases.reshape(-1, 1), loc.astype(jnp.int32)
+
+
+def _fwd_kernel(
+    bases_ref, dstloc_ref, src_ref, ef_ref, x_ref,
+    w1r_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, scal_ref,
+    out_ref,
+    *, window: int, bf16: bool,
+):
+    c = pl.program_id(0)
+    n = x_ref.shape[0]
+    te = dstloc_ref.shape[0]
+    w = window
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = pl.multiple_of(bases_ref[c, 0], 8)
+    g1 = scal_ref[0, 0]
+    be1 = scal_ref[0, 1]
+    g2 = scal_ref[0, 2]
+    be2 = scal_ref[0, 3]
+    slope = scal_ref[0, 4]
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (te, w), 1)
+    oh_dst = (dstloc_ref[:] == iota_w).astype(dt)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
+    oh_src = (src_ref[:] == iota_n).astype(dt)
+
+    # One-hot rows select exactly one value → gather dots are exact
+    # (Mosaic requires f32 accumulators for bf16 operands; the cast back
+    # to dt is lossless since each output element is a single selection).
+    xw = x_ref[pl.ds(base, w), :].astype(dt)
+    xd = jnp.dot(oh_dst, xw, preferred_element_type=jnp.float32).astype(dt)
+    xs = jnp.dot(
+        oh_src, x_ref[:].astype(dt), preferred_element_type=jnp.float32
+    ).astype(dt)
+
+    pre1 = (
+        jnp.dot(xd, w1r_ref[:].astype(dt), preferred_element_type=jnp.float32)
+        + jnp.dot(xs, w1s_ref[:].astype(dt), preferred_element_type=jnp.float32)
+        + jnp.dot(
+            ef_ref[:].astype(dt), w1e_ref[:].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[:]
+    )
+    m1 = _cnorm_act(pre1, g1, be1, slope)
+    m2 = jnp.dot(
+        m1.astype(dt), w2_ref[:].astype(dt), preferred_element_type=jnp.float32
+    ) + b2_ref[:]
+    m2 = _cnorm_act(m2, g2, be2, slope)
+    # Scatter-add into the window; sentinel rows of oh_dst are all-zero.
+    out_ref[pl.ds(base, w), :] += jax.lax.dot_general(
+        oh_dst, m2.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _probe_bf16_compiles() -> bool:
+    """True iff the bf16 kernel variant compiles on the current backend."""
+    try:
+        x = jnp.zeros((16, 8), jnp.float32)
+        ef = jnp.zeros((32, 8), jnp.float32)
+        idx = jnp.zeros((32,), jnp.int32)
+        w1 = jnp.zeros((24, 16), jnp.float32)
+        w2 = jnp.zeros((16, 8), jnp.float32)
+        fused_message_pass_csr(
+            x, ef, idx, idx, w1, jnp.zeros((16,)), w2, jnp.zeros((8,)),
+            1.0, 0.0, 1.0, 0.0, 0.01, 32, 16, False, True,
+        ).block_until_ready()
+        return True
+    except Exception:
+        return False
+
+
+def _forward_impl(
+    x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
+    *, slope, edge_tile, window, interpret, bf16,
+):
+    n, d = x.shape
+    e, de = ef.shape
+    h = w1.shape[1]
+    d2 = w2.shape[1]
+    window = min(window, n)
+
+    rem = (-e) % edge_tile
+    if rem:
+        ef = jnp.pad(ef, ((0, rem), (0, 0)))
+        src = jnp.pad(src, (0, rem), constant_values=n)
+        dst = jnp.pad(dst, (0, rem), constant_values=n)
+        e = e + rem
+    num_tiles = e // edge_tile
+
+    bases, dst_loc = _layout(dst, n, edge_tile, window)
+    w1r, w1s, w1e = w1[:d], w1[d : 2 * d], w1[2 * d :]
+    scal = jnp.array([[g1, be1, g2, be2, slope]], dtype=jnp.float32)
+
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # bases [C, 1]
+            pl.BlockSpec((edge_tile, 1), lambda c: (c, 0)),
+            pl.BlockSpec((edge_tile, 1), lambda c: (c, 0)),
+            pl.BlockSpec((edge_tile, de), lambda c: (c, 0)),
+            pl.BlockSpec((n, d), lambda c: (0, 0)),
+            pl.BlockSpec((d, h), lambda c: (0, 0)),
+            pl.BlockSpec((d, h), lambda c: (0, 0)),
+            pl.BlockSpec((de, h), lambda c: (0, 0)),
+            pl.BlockSpec((1, h), lambda c: (0, 0)),
+            pl.BlockSpec((h, d2), lambda c: (0, 0)),
+            pl.BlockSpec((1, d2), lambda c: (0, 0)),
+            pl.BlockSpec((1, 5), lambda c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n, d2), lambda c: (0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, window=window, bf16=bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e * (window * (d + d2) + n * d + 3 * d * h + h * d2),
+            bytes_accessed=4 * (e * (de + 2) + n * (d + d2)),
+            transcendentals=0,
+        ),
+    )(
+        bases, dst_loc.reshape(e, 1),
+        jnp.where(src < n, src, n).reshape(e, 1).astype(jnp.int32),
+        ef, x, w1r, w1s, w1e,
+        b1.reshape(1, h), w2, b2.reshape(1, d2), scal,
+    )
+
+
+def _bwd_kernel(
+    bases_ref, dstloc_ref, src_ref, ef_ref, x_ref,
+    w1r_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, scal_ref, gout_ref,
+    gef_ref, dx_ref,
+    dw1r_ref, dw1s_ref, dw1e_ref, db1_ref, dw2_ref, db2_ref,
+    dg1_ref, dbe1_ref, dg2_ref, dbe2_ref,
+    *, window: int,
+):
+    c = pl.program_id(0)
+    n = x_ref.shape[0]
+    te = dstloc_ref.shape[0]
+    h = w1r_ref.shape[1]
+    d2 = w2_ref.shape[1]
+    w = window
+
+    @pl.when(c == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    base = pl.multiple_of(bases_ref[c, 0], 8)
+    g1 = scal_ref[0, 0]
+    be1 = scal_ref[0, 1]
+    g2 = scal_ref[0, 2]
+    be2 = scal_ref[0, 3]
+    slope = scal_ref[0, 4]
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (te, w), 1)
+    oh_dst = (dstloc_ref[:] == iota_w).astype(jnp.float32)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
+    oh_src = (src_ref[:] == iota_n).astype(jnp.float32)
+
+    # --- forward recompute in f32 (gradients are exact at f32) ---
+    xw = x_ref[pl.ds(base, w), :]
+    xd = jnp.dot(oh_dst, xw, preferred_element_type=jnp.float32)
+    xs = jnp.dot(oh_src, x_ref[:], preferred_element_type=jnp.float32)
+    pre1 = (
+        jnp.dot(xd, w1r_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(xs, w1s_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(ef_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:]
+    )
+    u1, sd1, xhat1 = _cnorm_stats(pre1)
+    h1 = g1 * xhat1 + be1
+    a1 = jnp.where(h1 >= 0, h1, slope * h1)
+    pre2 = jnp.dot(a1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    u2, sd2, xhat2 = _cnorm_stats(pre2)
+    h2 = g2 * xhat2 + be2
+
+    # --- backward ---
+    # gm[e] = g_out[dst[e]] — windowed gather of the output cotangent.
+    gm = jnp.dot(
+        oh_dst, gout_ref[pl.ds(base, w), :], preferred_element_type=jnp.float32
+    )
+    g_pre2, dg2, dbe2 = _cnorm_act_bwd(gm, h2, xhat2, u2, sd2, g2, slope, d2)
+    dw2_ref[0] = jax.lax.dot_general(
+        a1, g_pre2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[0] = jnp.sum(g_pre2, axis=0, keepdims=True)
+    ga1 = jax.lax.dot_general(
+        g_pre2, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g_pre1, dg1, dbe1 = _cnorm_act_bwd(ga1, h1, xhat1, u1, sd1, g1, slope, h)
+
+    dw1r_ref[0] = jax.lax.dot_general(
+        xd, g_pre1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw1s_ref[0] = jax.lax.dot_general(
+        xs, g_pre1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw1e_ref[0] = jax.lax.dot_general(
+        ef_ref[:], g_pre1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[0] = jnp.sum(g_pre1, axis=0, keepdims=True)
+    gef_ref[:] = jax.lax.dot_general(
+        g_pre1, w1e_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dx: windowed scatter of the dst contribution + full scatter of src.
+    y_dst = jax.lax.dot_general(
+        g_pre1, w1r_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y_src = jax.lax.dot_general(
+        g_pre1, w1s_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[pl.ds(base, w), :] += jax.lax.dot_general(
+        oh_dst, y_dst, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] += jax.lax.dot_general(
+        oh_src, y_src, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg1_ref[0] = dg1[None, None]
+    dbe1_ref[0] = dbe1[None, None]
+    dg2_ref[0] = dg2[None, None]
+    dbe2_ref[0] = dbe2[None, None]
+
+
+def _backward_impl(
+    x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2, g_out,
+    *, slope, edge_tile, window, interpret,
+):
+    n, d = x.shape
+    e, de = ef.shape
+    h = w1.shape[1]
+    d2 = w2.shape[1]
+    e_orig = e
+    window = min(window, n)
+
+    rem = (-e) % edge_tile
+    if rem:
+        ef = jnp.pad(ef, ((0, rem), (0, 0)))
+        src = jnp.pad(src, (0, rem), constant_values=n)
+        dst = jnp.pad(dst, (0, rem), constant_values=n)
+        e = e + rem
+    num_tiles = e // edge_tile
+    c = num_tiles
+
+    bases, dst_loc = _layout(dst, n, edge_tile, window)
+    w1r, w1s, w1e = w1[:d], w1[d : 2 * d], w1[2 * d :]
+    scal = jnp.array([[g1, be1, g2, be2, slope]], dtype=jnp.float32)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+    tiled3 = lambda s1, s2: pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0))
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((edge_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((edge_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((edge_tile, de), lambda i: (i, 0)),
+            full((n, d)), full((d, h)), full((d, h)), full((de, h)),
+            full((1, h)), full((h, d2)), full((1, d2)), full((1, 5)),
+            full((n, d2)),
+        ],
+        out_specs=[
+            pl.BlockSpec((edge_tile, de), lambda i: (i, 0)),  # gef
+            full((n, d)),                                      # dx (accum)
+            tiled3(d, h), tiled3(d, h), tiled3(de, h), tiled3(1, h),
+            tiled3(h, d2), tiled3(1, d2),
+            tiled3(1, 1), tiled3(1, 1), tiled3(1, 1), tiled3(1, 1),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, window=window),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e, de), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((c, d, h), jnp.float32),
+            jax.ShapeDtypeStruct((c, d, h), jnp.float32),
+            jax.ShapeDtypeStruct((c, de, h), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((c, h, d2), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, d2), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e * (window * (d + d2) + n * d + 3 * d * h + h * d2),
+            bytes_accessed=4 * (2 * e * de + 2 * n * d + n * d2),
+            transcendentals=0,
+        ),
+    )(
+        bases, dst_loc.reshape(e, 1),
+        jnp.where(src < n, src, n).reshape(e, 1).astype(jnp.int32),
+        ef, x, w1r, w1s, w1e,
+        b1.reshape(1, h), w2, b2.reshape(1, d2), scal, g_out,
+    )
+    (gef, dx, dw1r, dw1s, dw1e, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = outs
+    # Per-tile weight-grad partials → one XLA reduction each (parallel-
+    # friendly, unlike cross-grid accumulation).
+    dw1 = jnp.concatenate(
+        [dw1r.sum(0), dw1s.sum(0), dw1e.sum(0)], axis=0
+    )
+    return (
+        dx,
+        gef[:e_orig],
+        dw1,
+        db1.sum(0).reshape(b1.shape),
+        dw2.sum(0),
+        db2.sum(0).reshape(b2.shape),
+        dg1.sum().reshape(jnp.shape(g1)),
+        dbe1.sum().reshape(jnp.shape(be1)),
+        dg2.sum().reshape(jnp.shape(g2)),
+        dbe2.sum().reshape(jnp.shape(be2)),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+def fused_message_pass_csr(
+    x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
+    slope: float = 0.01, edge_tile: int = 512, window: int = 256,
+    interpret: bool = False, bf16: bool = False,
+    pallas_backward: bool = True,
+):
+    """agg[n] = Σ_{e: dst=n} msgMLP([x_dst ‖ x_src ‖ ef]).
+
+    dst must be NON-DECREASING over valid edges with sentinel N padding
+    (the canonical row-major senders array qualifies — see module
+    docstring for the reversed-enumeration trick); src is unrestricted.
+    w1 rows are ordered [dst-rows ‖ src-rows ‖ edge-rows] matching the
+    reference's message(x_i=receiver, x_j=sender, e) concatenation
+    (gnn_blocks.py:112).  Callers must satisfy the window-span contract
+    (module docstring); ``window_span_ok`` verifies it for concrete data.
+    """
+    return _forward_impl(
+        x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
+        slope=slope, edge_tile=edge_tile, window=window,
+        interpret=interpret, bf16=bf16,
+    )
+
+
+def _fwd(x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
+         slope, edge_tile, window, interpret, bf16, pallas_backward):
+    out = _forward_impl(
+        x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
+        slope=slope, edge_tile=edge_tile, window=window,
+        interpret=interpret, bf16=bf16,
+    )
+    return out, (x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2)
+
+
+def _bwd(slope, edge_tile, window, interpret, bf16, pallas_backward,
+         res, g_out):
+    (x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2) = res
+    if pallas_backward:
+        (dx, def_, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _backward_impl(
+            x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2, g_out,
+            slope=slope, edge_tile=edge_tile, window=window,
+            interpret=interpret,
+        )
+        return (
+            dx, def_, None, None, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2,
+        )
+
+    def f(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        return _xla_reference(
+            x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2, slope=slope
+        )
+
+    _, vjp = jax.vjp(f, x, ef, w1, b1, w2, b2, g1, be1, g2, be2)
+    dx, def_, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2 = vjp(g_out)
+    return (
+        dx, def_, None, None, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2,
+    )
+
+
+fused_message_pass_csr.defvjp(_fwd, _bwd)

@@ -121,19 +121,23 @@ def batched_forward(model: RadarGNN, cfg: GNNConfig):
 
 
 def make_loss_fn(
-    cfg: GNNConfig, use_fast_path: bool = False, mp_bf16: bool = False
+    cfg: GNNConfig, use_fast_path: bool = False, mp_bf16: bool = False,
+    mp_impl=None, pallas_backward=None,
 ) -> Callable:
     """Batched loss.  use_fast_path routes the forward through
     models/fast_path.fast_forward (Pallas fused message kernel) — same
     parameter tree, same numerics.  mp_bf16 additionally runs the fused
-    kernel's matmuls with bf16 MXU operands (f32 accumulate/backward)."""
+    kernel's matmuls with bf16 MXU operands (f32 accumulate/backward);
+    mp_impl picks the kernel ("csr" | "onehot", default per config);
+    pallas_backward selects the fused backward kernel."""
     if use_fast_path:
         from ..models.fast_path import fast_forward
 
         def single(params, graph, node2cluster, cluster_mask):
             return fast_forward(
                 params, graph, node2cluster, cfg.max_clusters,
-                cluster_mask, cfg, mp_bf16=mp_bf16,
+                cluster_mask, cfg, mp_bf16=mp_bf16, mp_impl=mp_impl,
+                pallas_backward=pallas_backward,
             )
 
         fwd = jax.vmap(single, in_axes=(None, 0, 0, 0))
@@ -172,7 +176,7 @@ def apply_if(ok, new_tree, old_tree):
 
 def make_train_step(
     cfg: GNNConfig, use_fast_path: bool = False, donate: bool = False,
-    mp_bf16: bool = False,
+    mp_bf16: bool = False, mp_impl=None, pallas_backward=None,
 ):
     """(state, batch) → (state, metrics); single-device.  Sharded variants
     live in parallel/.
@@ -180,8 +184,14 @@ def make_train_step(
     donate=True donates the TrainState so XLA updates params/momentum in
     place (halves state HBM traffic); the input state is then CONSUMED —
     callers must reassign it every step (the trainer does).  Leave False
-    when the old state is inspected after the call (tests, probes)."""
-    loss_fn = make_loss_fn(cfg, use_fast_path, mp_bf16=mp_bf16)
+    when the old state is inspected after the call (tests, probes).
+    NOTE for benchmarking: on the remote axon runtime, donated executions
+    report ready through block_until_ready before device completion —
+    time with donate=False (see bench.py)."""
+    loss_fn = make_loss_fn(
+        cfg, use_fast_path, mp_bf16=mp_bf16, mp_impl=mp_impl,
+        pallas_backward=pallas_backward,
+    )
     tx = make_optimizer(cfg)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())

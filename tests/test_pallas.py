@@ -169,3 +169,147 @@ def test_fast_path_matches_flax_model(rng):
     np.testing.assert_allclose(
         np.asarray(got.obj_cls)[cmsk], np.asarray(want.obj_cls)[cmsk],
         rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# CSR (destination-sorted) kernel — ops/pallas/csr_mp.py
+# ---------------------------------------------------------------------------
+
+def _symmetric_problem(rng, n=96, d=32, de=16, h=64, d2=32, k=6, pad=37):
+    """Random symmetric kNN-like edge set in row-major (sender-sorted)
+    order with sentinel padding — the layout the CSR kernel requires."""
+    adj = np.zeros((n, n), bool)
+    for i in range(n):
+        nbrs = rng.choice([j for j in range(n) if j != i], size=k,
+                          replace=False)
+        adj[i, nbrs] = True
+    adj |= adj.T
+    s, r = np.nonzero(adj)
+    e = s.shape[0]
+    src = np.concatenate([r, np.full(pad, n)]).astype(np.int32)
+    dst = np.concatenate([s, np.full(pad, n)]).astype(np.int32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    ef = np.concatenate(
+        [rng.normal(size=(e, de)), np.zeros((pad, de))]
+    ).astype(np.float32)
+    w1 = (rng.normal(size=(2 * d + de, h)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(h,)) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=(h, d2)) * 0.1).astype(np.float32)
+    b2 = (rng.normal(size=(d2,)) * 0.1).astype(np.float32)
+    sc = (np.float32(1.1), np.float32(0.05), np.float32(0.9),
+          np.float32(-0.02))
+    return [jnp.asarray(a) for a in (x, ef, src, dst, w1, b1, w2, b2, *sc)]
+
+
+def test_csr_forward_matches_xla(rng):
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas import (
+        csr_mp,
+    )
+
+    args = _symmetric_problem(rng)
+    got = csr_mp.fused_message_pass_csr(*args, 0.01, 128, 64, True, False)
+    want = fused_mp._xla_reference(*args, slope=0.01)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("pallas_bwd", [False, True])
+def test_csr_gradients_match_xla(rng, pallas_bwd):
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas import (
+        csr_mp,
+    )
+
+    args = _symmetric_problem(rng)
+
+    def loss_kernel(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        out = csr_mp.fused_message_pass_csr(
+            x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
+            0.01, 128, 64, True, False, pallas_bwd,
+        )
+        return jnp.sum(out * out)
+
+    def loss_xla(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        out = fused_mp._xla_reference(
+            x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
+            slope=0.01,
+        )
+        return jnp.sum(out * out)
+
+    diff_args = [args[0], args[1]] + args[4:]
+    gk = jax.grad(loss_kernel, argnums=tuple(range(10)))(*diff_args)
+    gx = jax.grad(loss_xla, argnums=tuple(range(10)))(*diff_args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad {i}",
+        )
+
+
+def test_edge_reversal_contract():
+    """flip(ef(s→r)) must equal ef(r→s) element-for-element on a real
+    built graph — validates EDGE_FEATURE_REVERSAL_SIGNS against
+    data/features compute_edge_features (reference
+    graph_features.py:147-164), and that the row-major sender list is
+    sorted (the CSR layout the kernel relies on)."""
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas.csr_mp import (
+        reverse_edge_features, window_span_ok,
+    )
+
+    cfg = tiny_test_config()
+    ds = SyntheticRadarDataset(cfg, seed=2, num_objects=2)
+    g, _ = pad_frame(ds.sample_frame(), cfg)
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    m = np.asarray(g.edge_mask)
+    ef = np.asarray(g.edge_feat)
+    flip = np.asarray(reverse_edge_features(jnp.asarray(ef)))
+    pos = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(s[m], r[m]))}
+    for i in np.flatnonzero(m):
+        q = pos.get((int(r[i]), int(s[i])))
+        assert q is not None, "edge set must be symmetric"
+        np.testing.assert_allclose(ef[q], flip[i], atol=1e-6)
+    sv = s[m]
+    assert np.all(np.diff(sv.astype(np.int64)) >= 0), "senders not sorted"
+    assert window_span_ok(np.where(m, s, cfg.max_nodes), m, 128, 64)
+
+
+def test_fast_path_csr_matches_flax_model(rng):
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.fast_path import (
+        fast_forward,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import RadarGNN
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        init_params,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(3))
+    ds = SyntheticRadarDataset(cfg, seed=2, num_objects=2)
+    g, lbl = pad_frame(ds.sample_frame(), cfg)
+    g = jax.tree.map(jnp.asarray, g)
+    n2c = jnp.asarray(lbl.node2cluster)
+    cm = jnp.asarray(lbl.cluster_mask)
+    want = RadarGNN(cfg).apply(
+        {"params": params}, g, n2c, cfg.max_clusters, cm
+    )
+    got = fast_forward(
+        params, g, n2c, cfg.max_clusters, cm, cfg,
+        edge_tile=128, window=64, interpret=True, mp_impl="csr",
+    )
+    for name in ("node_cls", "node_offsets", "edge_cls", "obj_cls"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-4, atol=2e-5, err_msg=name,
+        )
