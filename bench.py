@@ -48,16 +48,25 @@ def _batch(cfg, batch_size, num_objects=8, seed=0):
     return jax.tree.map(jnp.asarray, next(ds.batches(batch_size)))
 
 
-def _time_steps(step, state, batch, iters):
+def _time_steps(step, state, batch, iters, windows=3):
+    """Median ms/step over `windows` back-to-back windows of `iters` steps.
+
+    Steps chain through the (donated) state, so block_until_ready on the
+    final metrics bounds every step in the window; the median over
+    windows suppresses remote-tunnel jitter (measured ±10 % run-to-run,
+    docs/PERF.md)."""
     import jax
 
     state, m = step(state, batch)
     jax.block_until_ready(m["loss_total"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m["loss_total"])
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch)
+        jax.block_until_ready(m["loss_total"])
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.median(times))
 
 
 def bench_train_b8():
@@ -70,24 +79,41 @@ def bench_train_b8():
         create_train_state, make_train_step,
     )
     from graph_neural_network_for_radar_perception_tpu.utils.profiling import (
-        flops_per_train_step,
+        device_peak_flops, flops_per_train_step,
     )
 
     cfg = GNNConfig(max_nodes=768, max_clusters=256)
     batch = _batch(cfg, 8)
     state = create_train_state(cfg, jax.random.key(0))
-    # use_fast_path routes message passing through the fused Pallas kernel
-    # (ops/pallas/fused_mp.py) — ~2.4x over the XLA gather/scatter path on
-    # the same numerics (gradients asserted equal in tests/test_pallas.py).
+    # Headline = the production default: the plain XLA model path with
+    # state donation — the exact step train/trainer.py runs.  The 2x2
+    # kernel matrix {onehot,csr}x{xla,pallas backward} was measured
+    # end-to-end on v5e and the XLA path won (docs/PERF.md); the Pallas
+    # kernels remain opt-in via make_train_step(use_fast_path=True).
     dt = _time_steps(
-        make_train_step(cfg, use_fast_path=True, donate=True), state, batch, 30
+        make_train_step(cfg, donate=True), state, batch, 34
     )
-    edges = 8 * cfg.max_edges * len(cfg.graph_convolution_stem_channels)
-    eps = edges / dt
-    tflops = flops_per_train_step(cfg, 8) / dt / 1e12
+    rounds = len(cfg.graph_convolution_stem_channels)
+    cap_edges = 8 * cfg.max_edges * rounds
+    valid_per_graph = np.asarray(batch.graph.edge_mask).sum(-1)
+    valid_edges = float(valid_per_graph.sum()) * rounds
+    occupancy = valid_edges / cap_edges
+    eps = cap_edges / dt
+    flops = flops_per_train_step(cfg, 8)
+    tflops = flops / dt / 1e12
+    peak = device_peak_flops()
+    mfu = f"{flops / dt / peak:.1%}" if peak else "n/a (unknown chip peak)"
     log(
-        f"train_b8: {dt * 1e3:.2f} ms/step → {eps:.3e} edge-msgs/s "
-        f"(~{tflops:.1f} TFLOP/s analytic)"
+        f"train_b8: {dt * 1e3:.2f} ms/step → {eps:.3e} capacity-edge-msgs/s"
+    )
+    log(
+        f"train_b8: valid-edge throughput {valid_edges / dt:.3e} /s "
+        f"(occupancy {occupancy:.1%} of E_cap={cfg.max_edges}/graph)"
+    )
+    log(
+        f"train_b8: ~{tflops:.1f} TFLOP/s analytic, MFU {mfu} "
+        f"(bf16 peak {peak / 1e12:.0f} TFLOP/s)" if peak else
+        f"train_b8: ~{tflops:.1f} TFLOP/s analytic, MFU {mfu}"
     )
     return eps
 

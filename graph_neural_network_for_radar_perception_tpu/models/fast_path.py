@@ -55,16 +55,20 @@ def _head(p, x):
 def default_mp_impl(cfg: GNNConfig) -> str:
     """Pick the message-passing kernel for a config.
 
-    "csr" (ops/pallas/csr_mp.py) needs the window-span contract: every
-    valid node of the symmetrised-kNN graph has degree ≥ min(k, n_valid−1),
-    bounding the destination span of an edge tile by TE/k.  Gate on k and
-    the standard 7-dim edge feature layout (for the reversal sign
-    pattern); otherwise fall back to the round-1 full one-hot kernel."""
-    if (
-        cfg.k_number_nearest_points >= 4
-        and cfg.input_edge_feat_dim == 7
-    ):
-        return "csr"
+    Default "onehot" — measured end-to-end on TPU v5e (2026-08, batch 8,
+    N=768, E_cap=15360, 100 steady-state iters, see docs/PERF.md):
+
+        XLA model path          1.87–2.06 ms/step   ← production default
+        onehot + XLA backward   1.87–2.28 ms/step   (tied within noise)
+        onehot + Pallas bwd     2.86 ms/step
+        csr    + XLA backward   2.45 ms/step
+        csr    + Pallas bwd     7.15–8.25 ms/step   (round-2 regression)
+
+    "csr" (ops/pallas/csr_mp.py) is analytically cheaper (windowed
+    destination one-hot) but loses on this hardware until its source
+    gather and backward stop using full [TE, N] one-hots; it stays
+    opt-in via mp_impl="csr"."""
+    del cfg
     return "onehot"
 
 
@@ -92,10 +96,12 @@ def fast_forward(
         mp_impl = default_mp_impl(cfg)
     if pallas_backward is None:
         # Env default resolved at TRACE time (baked into the compiled
-        # step); pass explicitly for per-call control.
+        # step); pass explicitly for per-call control.  The measured
+        # default is the XLA backward for BOTH kernels (docs/PERF.md);
+        # the Pallas backwards are slower on v5e as of 2026-08.
         from ..ops.pallas.fused_mp import use_pallas_backward
 
-        pallas_backward = use_pallas_backward() or mp_impl == "csr"
+        pallas_backward = use_pallas_backward()
     n = graph.num_nodes
     # Sentinel-index padded edges so the kernel drops them without masks.
     senders = jnp.where(graph.edge_mask, graph.senders, n).astype(jnp.int32)

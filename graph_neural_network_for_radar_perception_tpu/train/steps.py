@@ -185,9 +185,10 @@ def make_train_step(
     place (halves state HBM traffic); the input state is then CONSUMED —
     callers must reassign it every step (the trainer does).  Leave False
     when the old state is inspected after the call (tests, probes).
-    NOTE for benchmarking: on the remote axon runtime, donated executions
-    report ready through block_until_ready before device completion —
-    time with donate=False (see bench.py)."""
+    Timing with donation is sound: steps are sequentially dependent
+    through the state, so block_until_ready on the last step's metrics
+    bounds the whole chain — measured donate=True vs False agree within
+    run noise at 100 iters on the v5e tunnel (docs/PERF.md)."""
     loss_fn = make_loss_fn(
         cfg, use_fast_path, mp_bf16=mp_bf16, mp_impl=mp_impl,
         pallas_backward=pallas_backward,

@@ -106,3 +106,40 @@ def flops_per_train_step(cfg, batch_size: int) -> float:
     )
     fwd = rounds * (msg + upd) + enc
     return 3.0 * fwd * batch_size  # bwd ≈ 2× fwd
+
+
+# Dense peak matmul throughput per chip, bf16 (the MXU's native input
+# format; f32-stored activations still run the MXU in bf16 passes under
+# JAX's default matmul precision).  Public numbers from the TPU product
+# pages/ISCA papers.
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def device_peak_flops(device=None) -> Optional[float]:
+    """Peak bf16 FLOP/s of the attached chip, or None when unknown (CPU,
+    interpret mode).  MFU = measured FLOP/s / this."""
+    import jax
+
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    for key, peak in _PEAK_BF16_FLOPS.items():
+        if kind.startswith(key):
+            return peak
+    return None
+
+
+def mfu(analytic_flops: float, seconds: float, device=None) -> Optional[float]:
+    """Model FLOPs utilisation: analytic model FLOPs per wall-second over
+    the chip's bf16 peak.  None when the peak is unknown."""
+    peak = device_peak_flops(device)
+    if peak is None or seconds <= 0:
+        return None
+    return analytic_flops / seconds / peak
