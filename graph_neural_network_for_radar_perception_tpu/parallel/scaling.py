@@ -82,3 +82,87 @@ def measure_scaling(
             "backend": jax.devices()[0].platform,
         })
     return results
+
+
+def measure_process_scaling(
+    process_counts: Sequence[int] = (1, 2),
+    *,
+    devices_per_process: int = 4,
+    batch_per_device: int = 1,
+    bench_iters: int = 5,
+    n_graph: int = 1,
+    timeout: float = 600.0,
+) -> List[Dict]:
+    """Weak-scaling sweep over PROCESS counts (multi-host stand-in).
+
+    Spawns real separate python processes per count (CPU backend,
+    `devices_per_process` virtual devices each) wired with
+    jax.distributed.initialize, and measures ms/step of the identical
+    pjit program.  On a pod each process maps to one host and the 'data'
+    axis crosses DCN — this harness exercises exactly that layout.
+    Efficiency = throughput_n / (n · throughput_1).
+    """
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+
+    def free_port() -> int:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    results: List[Dict] = []
+    base: Optional[float] = None
+    for n_proc in process_counts:
+        global_batch = batch_per_device * devices_per_process * n_proc
+        with tempfile.TemporaryDirectory() as td:
+            out = os.path.join(td, "r.json")
+            port = free_port()
+            env = dict(os.environ)
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            procs = []
+            for pid in range(n_proc):
+                cmd = [
+                    sys.executable, "-m",
+                    "graph_neural_network_for_radar_perception_tpu"
+                    ".parallel.worker",
+                    "--platform", "cpu",
+                    "--local-devices", str(devices_per_process),
+                    "--steps", "1", "--bench-iters", str(bench_iters),
+                    "--global-batch", str(global_batch),
+                    "--n-graph", str(n_graph), "--out", out,
+                ]
+                if n_proc > 1:
+                    cmd += [
+                        "--coordinator", f"127.0.0.1:{port}",
+                        "--num-processes", str(n_proc),
+                        "--process-id", str(pid),
+                    ]
+                procs.append(subprocess.Popen(
+                    cmd, env=env, cwd=repo, stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE, text=True,
+                ))
+            for p in procs:
+                o, e = p.communicate(timeout=timeout)
+                if p.returncode != 0:
+                    raise RuntimeError(f"worker failed:\n{o}\n{e}")
+            with open(out) as f:
+                res = json.load(f)
+        thr = global_batch / (res["ms_per_step"] / 1e3)  # graphs/s
+        if base is None:
+            base = thr / n_proc
+        results.append({
+            "processes": n_proc,
+            "devices": n_proc * devices_per_process,
+            "ms_per_step": res["ms_per_step"],
+            "graphs_per_s": thr,
+            "efficiency": thr / (base * n_proc),
+        })
+    return results

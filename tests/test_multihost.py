@@ -1,0 +1,96 @@
+"""Multi-process execution tests (SURVEY.md §5 "distributed backend").
+
+Launches REAL separate processes wired together with
+jax.distributed.initialize — 2 processes × 4 virtual CPU devices each —
+and asserts the run produces the same metrics and parameters as a single
+process owning all 8 devices.  This is the standard JAX stand-in for a
+2-host TPU slice (the mesh layout and collectives are identical; only the
+transport differs)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_worker(extra, out_path, local_devices):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [
+        sys.executable, "-m",
+        "graph_neural_network_for_radar_perception_tpu.parallel.worker",
+        "--platform", "cpu", "--local-devices", str(local_devices),
+        "--steps", "3", "--global-batch", "8", "--out", out_path,
+    ] + extra
+    return subprocess.Popen(
+        cmd, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def _wait(proc, timeout=420):
+    out, err = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, f"worker failed:\n{out}\n{err}"
+    return out
+
+
+@pytest.mark.parametrize("n_graph", [1, 2])
+def test_two_process_run_matches_single_process(tmp_path, n_graph):
+    # Reference: one process, 8 devices, same global mesh shape.
+    ref_out = str(tmp_path / "ref.json")
+    ref = _run_worker(["--n-graph", str(n_graph)], ref_out, local_devices=8)
+    _wait(ref)
+    with open(ref_out) as f:
+        ref_res = json.load(f)
+    assert ref_res["devices"] == 8 and ref_res["process_count"] == 1
+
+    # 2 processes x 4 devices: identical logical mesh, DCN-style layout.
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    flags = [
+        "--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+        "--n-graph", str(n_graph),
+    ]
+    p0 = _run_worker(flags + ["--process-id", "0"], mh_out, local_devices=4)
+    p1 = _run_worker(flags + ["--process-id", "1"], mh_out + ".ignored",
+                     local_devices=4)
+    _wait(p0)
+    _wait(p1)
+    with open(mh_out) as f:
+        mh_res = json.load(f)
+
+    assert mh_res["process_count"] == 2
+    assert mh_res["devices"] == 8
+    for k, v in ref_res["metrics"].items():
+        np.testing.assert_allclose(
+            mh_res["metrics"][k], v, rtol=1e-5, atol=1e-7, err_msg=k
+        )
+    np.testing.assert_allclose(
+        mh_res["param_l1"], ref_res["param_l1"], rtol=1e-6
+    )
+
+
+def test_process_scaling_sweep():
+    from graph_neural_network_for_radar_perception_tpu.parallel.scaling import (
+        measure_process_scaling,
+    )
+
+    res = measure_process_scaling(
+        (1, 2), devices_per_process=2, bench_iters=3
+    )
+    assert [r["processes"] for r in res] == [1, 2]
+    assert res[0]["efficiency"] == 1.0
+    # CPU-backend efficiency is orchestration-only; just require sane > 0.
+    assert res[1]["efficiency"] > 0.1
