@@ -120,6 +120,15 @@ class GNNConfig:
     # Directed-edge capacity factor: E <= 2*k*N for symmetrised kNN.
     edge_capacity_factor: int = 2
 
+    # --- kernel selection ---------------------------------------------------
+    # Message-passing implementation when the fast path is used:
+    # None = auto (models/fast_path.default_mp_impl, measured in
+    # docs/PERF.md), "onehot" | "csr" to force.  When set to "csr",
+    # pad_frame validates the CSR kernel's contract (window span +
+    # reversal closure, ops/pallas/csr_mp.csr_contract_ok) on every frame
+    # and raises instead of letting the kernel silently drop edges.
+    mp_impl: Optional[str] = None
+
     # --- parallelism -------------------------------------------------------
     mesh_axes: Tuple[str, ...] = ("data", "graph")
     # Set to the mesh axis name (e.g. "graph") when running the model inside

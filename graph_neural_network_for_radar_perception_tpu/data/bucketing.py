@@ -70,13 +70,20 @@ def bucketed_batches(
             pending[chosen] = []
 
 
-def make_bucketed_train_step(cfg: GNNConfig, buckets: Sequence[Bucket]):
+def make_bucketed_train_step(
+    cfg: GNNConfig, buckets: Sequence[Bucket], **step_kwargs
+):
     """One jitted step per bucket shape, sharing the TrainState.
 
-    Returns step(state, bucket, batch) → (state, metrics)."""
+    step_kwargs forward to train.steps.make_train_step (donate,
+    use_fast_path, ...).  Returns step(state, bucket, batch) →
+    (state, metrics)."""
     from ..train.steps import make_train_step
 
-    steps = {b: make_train_step(bucket_cfg(cfg, b)) for b in buckets}
+    steps = {
+        b: make_train_step(bucket_cfg(cfg, b), **step_kwargs)
+        for b in buckets
+    }
 
     def step(state, bucket: Bucket, batch):
         return steps[bucket](state, batch)

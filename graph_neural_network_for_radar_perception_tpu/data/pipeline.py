@@ -237,6 +237,21 @@ def pad_frame(fr: FrameArrays, cfg: GNNConfig):
         cluster_class=_pad1(fr.cluster_class[:c_cap], c_cap),
         cluster_mask=cluster_mask,
     )
+    if cfg.mp_impl == "csr":
+        # The CSR kernel drops out-of-window edges and walks the reversed
+        # edge set — both only correct under its contract.  Fail loudly
+        # at data-build time rather than let training see wrong sums
+        # (defense-in-depth: fast_path also NaN-poisons violations).
+        from ..ops.pallas.csr_mp import csr_contract_ok
+
+        ok, reason = csr_contract_ok(
+            graph.senders, graph.receivers, graph.edge_mask
+        )
+        if not ok:
+            raise ValueError(
+                f"frame violates the CSR kernel contract ({reason}); use "
+                "mp_impl='onehot' or raise capacities/window"
+            )
     return graph, labels
 
 

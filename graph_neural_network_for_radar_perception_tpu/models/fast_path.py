@@ -93,7 +93,7 @@ def fast_forward(
     )
     assert cfg.num_blocks_to_compute_edge == 1
     if mp_impl is None:
-        mp_impl = default_mp_impl(cfg)
+        mp_impl = cfg.mp_impl or default_mp_impl(cfg)
     if pallas_backward is None:
         # Env default resolved at TRACE time (baked into the compiled
         # step); pass explicitly for per-call control.  The measured
@@ -113,6 +113,7 @@ def fast_forward(
         params["encode_node_feat"]["MLPStack_0"], graph.node_feat,
         first_unnormalized=True,
     )
+    guard = 0.0
     if mp_impl == "csr":
         # Reversed-enumeration trick (ops/pallas/csr_mp.py): walk each
         # directed edge (r→s) at the row-major position of (s→r), so the
@@ -122,7 +123,16 @@ def fast_forward(
         # encoding exactly once, just enumerated differently.
         from ..ops.pallas.csr_mp import (
             fused_message_pass_csr, reverse_edge_features,
+            window_span_violations,
         )
+
+        # Runtime contract guard: edges outside their tile's node window
+        # would be silently dropped by the kernel — poison the output
+        # with NaN instead, so the train step's NaN skip fires and the
+        # metric `skipped` surfaces it (cfg.mp_impl=="csr" additionally
+        # validates at pad_frame time and raises early).
+        n_viol = window_span_violations(senders, n, edge_tile, window)
+        guard = jnp.where(n_viol > 0, jnp.nan, 0.0)
 
         edge_feat_in = reverse_edge_features(graph.edge_feat)
     else:
@@ -131,7 +141,7 @@ def fast_forward(
         params["encode_edge_feat"]["MLPStack_0"], edge_feat_in,
         first_unnormalized=True,
     )
-    e = jnp.where(graph.edge_mask[:, None], e, 0.0)
+    e = jnp.where(graph.edge_mask[:, None], e, 0.0) + guard
 
     for b in range(len(cfg.graph_convolution_stem_channels)):
         pb = params["pass_messages"][f"ResidualGraphConvBlock_{b}"]

@@ -88,7 +88,7 @@ def reverse_edge_features(ef: jax.Array) -> jax.Array:
     return ef * signs
 
 
-def window_span_ok(dst, edge_mask, edge_tile: int, window: int) -> jax.Array:
+def window_span_ok(dst, edge_mask, edge_tile: int, window: int) -> bool:
     """True iff every edge_tile-chunk of the (sorted) destination list
     spans < window-8 node ids — the contract the kernel needs."""
     import numpy as np
@@ -102,6 +102,52 @@ def window_span_ok(dst, edge_mask, edge_tile: int, window: int) -> jax.Array:
         if chunk.size:
             ok &= int(chunk.max()) - int(chunk.min()) < window - 8
     return ok
+
+
+def csr_contract_ok(
+    senders, receivers, edge_mask, edge_tile: int = 512, window: int = 256,
+) -> tuple:
+    """Host-side validation of BOTH preconditions of the CSR kernel path:
+
+    1. window span: every edge_tile chunk of the sorted destination list
+       (= senders, via the reversed-enumeration trick) spans < window-8;
+    2. reversal closure: the valid directed edge set equals its own
+       reverse — required because the kernel walks position p as the edge
+       (receivers[p] → senders[p]); edge-capacity truncation (pad_frame)
+       can drop one direction of a pair and silently corrupt sums.
+
+    Returns (ok: bool, reason: str)."""
+    import numpy as np
+
+    s = np.asarray(senders)[np.asarray(edge_mask)]
+    r = np.asarray(receivers)[np.asarray(edge_mask)]
+    if not window_span_ok(senders, edge_mask, edge_tile, window):
+        return False, (
+            f"destination window span ≥ {window - 8} within an "
+            f"{edge_tile}-edge tile"
+        )
+    n = int(max(s.max(initial=0), r.max(initial=0))) + 1
+    fwd = np.sort(s.astype(np.int64) * n + r)
+    rev = np.sort(r.astype(np.int64) * n + s)
+    if fwd.shape != rev.shape or not np.array_equal(fwd, rev):
+        return False, "edge set not closed under reversal (truncated pair?)"
+    return True, ""
+
+
+def window_span_violations(
+    dst, n: int, edge_tile: int, window: int
+) -> jax.Array:
+    """Traced count of valid edges whose destination falls outside its
+    tile's node window (the edges `_layout` would silently drop).  Used
+    as a cheap in-jit guard: callers poison the output with NaN when this
+    is nonzero so the train step's NaN skip (train/steps.py) fires
+    instead of training on wrong sums."""
+    e = dst.shape[0]
+    rem = (-e) % edge_tile
+    if rem:
+        dst = jnp.pad(dst, (0, rem), constant_values=n)
+    _, loc = _layout(dst, n, edge_tile, window)
+    return jnp.sum((dst < n) & (loc == window))
 
 
 def _layout(dst, n, edge_tile, window):

@@ -111,3 +111,45 @@ def train(
         hooks.checkpoint.save(max_iters, jax.device_get(state), wait=True)
 
     return state
+
+
+def train_bucketed(
+    cfg: GNNConfig,
+    frames,
+    *,
+    buckets=None,
+    donate: bool = True,
+    val_batches=None,
+    **train_kwargs,
+) -> TrainState:
+    """The production loop over BUCKETED static-shape batches.
+
+    Frames are routed to the smallest capacity bucket that fits
+    (data/bucketing.py), so padded work tracks the real frame-size
+    distribution instead of the global maximum; one jitted executable per
+    bucket shares the single TrainState.  `frames` is an iterator of
+    FrameArrays (e.g. RadarScenesFrames.frames() or
+    SyntheticRadarDataset.sample_frame in a loop); remaining kwargs
+    forward to :func:`train`.
+    """
+    import jax.numpy as jnp
+
+    from ..data.bucketing import (
+        bucketed_batches, default_buckets, make_bucketed_train_step,
+    )
+
+    buckets = list(buckets or default_buckets(cfg))
+    bstep = make_bucketed_train_step(cfg, buckets, donate=donate)
+
+    def step(state, item):
+        bucket, batch = item
+        return bstep(state, bucket, batch)
+
+    def to_device(item):
+        bucket, batch = item
+        return bucket, jax.tree.map(jnp.asarray, batch)
+
+    stream = map(to_device, bucketed_batches(frames, cfg, buckets))
+    return train(
+        cfg, stream, val_batches, train_step=step, **train_kwargs
+    )

@@ -54,6 +54,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()

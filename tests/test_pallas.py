@@ -313,3 +313,98 @@ def test_fast_path_csr_matches_flax_model(rng):
             np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
             rtol=2e-4, atol=2e-5, err_msg=name,
         )
+
+
+def test_csr_contract_guard():
+    """Contract violations are caught loudly, not returned as wrong sums
+    (VERDICT r2: out-of-window edges were silently dropped)."""
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas.csr_mp import (
+        csr_contract_ok, window_span_violations,
+    )
+
+    # A symmetric ring graph: sorted senders, closed under reversal.
+    n = 64
+    s = np.repeat(np.arange(n), 2)
+    r = np.stack([(np.arange(n) - 1) % n, (np.arange(n) + 1) % n], 1).ravel()
+    mask = np.ones_like(s, dtype=bool)
+    ok, _ = csr_contract_ok(s, r, mask, edge_tile=32, window=48)
+    assert ok
+
+    # Drop one direction of a pair -> reversal closure fails.
+    mask2 = mask.copy()
+    mask2[-1] = False
+    ok, reason = csr_contract_ok(s, r, mask2, edge_tile=32, window=48)
+    assert not ok and "reversal" in reason
+
+    # Destination jump wider than the window within one tile -> span fails
+    # on the host check AND is counted by the traced guard.
+    s3 = np.sort(np.concatenate([np.zeros(16, np.int64), np.full(16, 60)]))
+    r3 = (s3 + 1) % n
+    m3 = np.ones_like(s3, dtype=bool)
+    ok, reason = csr_contract_ok(s3, r3, m3, edge_tile=32, window=16)
+    assert not ok and "span" in reason
+    viol = window_span_violations(
+        jnp.asarray(s3, jnp.int32), n, edge_tile=32, window=16
+    )
+    assert int(viol) > 0
+
+
+def test_pad_frame_validates_csr_contract():
+    """cfg.mp_impl='csr' makes pad_frame raise on a contract-violating
+    frame (here: edge-capacity truncation breaking reversal closure)."""
+    import dataclasses as dc
+
+    import pytest
+
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+
+    cfg = tiny_test_config(mp_impl="csr")
+    ds = SyntheticRadarDataset(cfg, seed=0, num_objects=2)
+    fr = ds.sample_frame()
+    pad_frame(fr, cfg)  # intact frame passes
+
+    # Drop the first directed edge: its reverse (stored later in the
+    # row-major list) survives, so the set is no longer reversal-closed.
+    bad = dc.replace(
+        fr,
+        senders=fr.senders[1:],
+        receivers=fr.receivers[1:],
+        edge_feat=fr.edge_feat[1:],
+    )
+    with pytest.raises(ValueError, match="CSR kernel contract"):
+        pad_frame(bad, cfg)
+
+
+def test_fast_path_csr_poisons_on_span_violation(rng):
+    """In-jit guard: a graph violating the window-span bound yields NaN
+    outputs (so the train step's NaN skip fires) instead of wrong sums."""
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.fast_path import (
+        fast_forward,
+    )
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        init_params,
+    )
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.key(3))
+    ds = SyntheticRadarDataset(cfg, seed=2, num_objects=2)
+    g, lbl = pad_frame(ds.sample_frame(), cfg)
+    g = jax.tree.map(jnp.asarray, g)
+    out = fast_forward(
+        params, g, jnp.asarray(lbl.node2cluster), cfg.max_clusters,
+        jnp.asarray(lbl.cluster_mask), cfg,
+        edge_tile=16, window=8, interpret=True, mp_impl="csr",
+    )
+    # window=8 << span of 16-edge tiles on this graph -> must be poisoned.
+    assert not np.isfinite(np.asarray(out.node_cls)).all()

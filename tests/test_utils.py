@@ -122,6 +122,39 @@ def test_bucketed_batching_and_training():
     assert n_batches >= 2
 
 
+def test_trainer_train_bucketed():
+    """The production loop consumes the bucketed stream end-to-end."""
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.bucketing import (
+        Bucket,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset,
+    )
+    from graph_neural_network_for_radar_perception_tpu.train.trainer import (
+        TrainHooks, train_bucketed,
+    )
+
+    cfg = tiny_test_config(max_nodes=128, max_clusters=64, batch_size=2)
+    buckets = [Bucket(64, 32, 2), Bucket(128, 64, 2)]
+    ds = SyntheticRadarDataset(cfg, seed=1, num_objects=2)
+
+    def frames():
+        while True:
+            yield ds.sample_frame()
+
+    logs = []
+    state = train_bucketed(
+        cfg, frames(), buckets=buckets, max_iters=6,
+        hooks=TrainHooks(log_period=2, val_period=1000,
+                         print_fn=logs.append),
+    )
+    assert int(state.step) == 6
+    assert len(logs) == 3
+
+
 def test_prediction_export_schema(tmp_path):
     import dataclasses
 
