@@ -206,11 +206,12 @@ class RadarScenesDataset:
     """Map-style dataset over windowed metadata → padded graph samples."""
 
     def __init__(self, cfg, root: str, metadata: List[dict],
-                 augment: bool = False, seed: int = 0):
+                 augment: bool = False, seed: int = 0,
+                 dataset_path: Optional[str] = None):
         from .pipeline import pad_frame, preprocess_frame
 
         self.cfg = cfg
-        self.cache = SequenceCache(root, cfg.dataset_dir)
+        self.cache = SequenceCache(root, dataset_path or cfg.dataset_dir)
         self.metadata = metadata
         self.augment = augment
         self.rng = np.random.default_rng(seed)
