@@ -232,3 +232,262 @@ def save_frames_as_gif(figs_or_paths: Sequence, out_path: str, fps: int = 5):
         duration=int(1000 / fps), loop=0,
     )
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Long-tail reference parity (plot_func.py / show_outputs.py /
+# compare_plots.py — the remaining side-by-side and annotated variants).
+# Each docstring cites its reference twin; PARITY.md lists the full map.
+# ---------------------------------------------------------------------------
+
+
+def plot_track_centers(px, py, cx, cy, ax=None, **roi):
+    """Measurements + track-mean centers (plot_func.py:21-33)."""
+    ax = _ax(ax)
+    ax.scatter(px, py, s=6, c="red", marker=".", label="measurements")
+    ax.scatter(cx, cy, s=30, c="black", marker="x", label="track centers")
+    ax.legend(loc="upper right", fontsize=7)
+    set_roi(ax, **roi)
+    return ax
+
+
+def plot_channels(image, figsize=(16, 6)):
+    """Grid/CNN input channel maps side by side (plot_func.py:91-101).
+    image: [H, W, C] BEV grid tensor."""
+    import matplotlib.pyplot as plt
+
+    image = np.asarray(image)
+    c = image.shape[-1]
+    fig, axes = plt.subplots(1, c, figsize=figsize)
+    axes = np.atleast_1d(axes)
+    for i in range(c):
+        axes[i].imshow(image[..., i].T, origin="lower", cmap="viridis")
+        axes[i].set_title(f"channel {i}")
+    fig.tight_layout()
+    return fig
+
+
+def plot_meas_and_gt_labels(px, py, classes, ax=None, **roi):
+    """Class-coloured GT scene (plot_func.py:145-166); alias of
+    plot_node_classes kept for 1:1 name parity."""
+    return plot_node_classes(px, py, classes, ax=ax, **roi)
+
+
+def plot_meas_cluster_centers(px, py, offsets, ax=None, **roi):
+    """Measurements + offset-decoded centers (plot_func.py:127-143)."""
+    return plot_offsets(px, py, offsets, ax=ax, **roi)
+
+
+def plot_meas_and_gt_labels_cluster_centers(
+    px, py, classes, offsets, ax=None, **roi
+):
+    """Class colours AND center offsets in one panel
+    (plot_func.py:103-125)."""
+    ax = _ax(ax)
+    plot_node_classes(px, py, classes, ax=ax, legend=True, **roi)
+    ax.quiver(px, py, offsets[:, 0], offsets[:, 1], color="tab:blue",
+              width=0.002, angles="xy", scale_units="xy", scale=1.0)
+    set_roi(ax, **roi)
+    return ax
+
+
+def plot_pred_class(det, ax=None, **roi):
+    """Predicted node classes of one frame (show_outputs.py:10-41)."""
+    return plot_node_classes(
+        det.xy[:, 0], det.xy[:, 1], det.node_class, ax=ax, **roi
+    )
+
+
+def plot_pred_offsets(det, ax=None, **roi):
+    """Predicted center offsets (show_outputs.py:43-77)."""
+    return plot_offsets(
+        det.xy[:, 0], det.xy[:, 1], det.centers - det.xy, ax=ax, **roi
+    )
+
+
+def plot_pred_edge_class(det, ax=None, **roi):
+    """Predicted link labels over the undirected graph
+    (show_outputs.py:79-118)."""
+    if det.gt is None:
+        raise ValueError("needs det.gt for the undirected edge list")
+    return plot_edge_labels(
+        det.xy[:, 0], det.xy[:, 1], det.gt.und_senders,
+        det.gt.und_receivers, det.link_class, ax=ax, **roi,
+    )
+
+
+def plot_clusters_measurements_and_object_class(det, ax=None, **roi):
+    """Clusters + ellipses + object-class annotations
+    (show_outputs.py:120-173)."""
+    return plot_clusters(
+        det.xy[:, 0], det.xy[:, 1], det.node2cluster, det.num_clusters,
+        ax=ax, cluster_mu=det.cluster_mu, cluster_sigma=det.cluster_sigma,
+        cluster_class=det.cluster_class, **roi,
+    )
+
+
+def compare_pred_gt_class(det, figsize=(16, 8), roi=None):
+    """GT vs predicted node classes side by side
+    (compare_plots.py:9-53); name-parity alias of compare_pred_gt."""
+    return compare_pred_gt(det, figsize=figsize, roi=roi)
+
+
+def compare_pred_gt_offsets(det, figsize=(16, 8), roi=None):
+    """GT vs predicted center offsets side by side
+    (compare_plots.py:55-101)."""
+    import matplotlib.pyplot as plt
+
+    roi = roi or {}
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    n = px.shape[0]
+    plot_offsets(px, py, det.gt.node_offsets[:n], ax=axes[0],
+                 color="tab:green", **roi)
+    axes[0].set_title("ground truth offsets")
+    plot_offsets(px, py, det.centers - det.xy, ax=axes[1], **roi)
+    axes[1].set_title("predicted offsets")
+    fig.tight_layout()
+    return fig
+
+
+def compare_pred_gt_offsets_meas(det, figsize=(16, 8), roi=None):
+    """GT vs predicted decoded CENTERS over raw measurements
+    (compare_plots.py:103-139 / plot_func.py:258-328)."""
+    import matplotlib.pyplot as plt
+
+    roi = roi or {}
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    n = px.shape[0]
+    gt_centers = det.xy + det.gt.node_offsets[:n]
+    for ax, centers, title in (
+        (axes[0], gt_centers, "ground truth centers"),
+        (axes[1], det.centers, "predicted centers"),
+    ):
+        ax.scatter(px, py, s=6, c="red", marker=".", label="measurements")
+        ax.scatter(centers[:, 0], centers[:, 1], s=6, c="tab:blue",
+                   marker="+", label="centers")
+        ax.legend(loc="upper right", fontsize=7)
+        ax.set_title(title)
+        set_roi(ax, **roi)
+    fig.tight_layout()
+    return fig
+
+
+def compute_node_pairs(px, py, edge_labels, und_senders, und_receivers):
+    """Segment endpoints of the positive links
+    (plot_func.py:330-349 / compare_plots.py:141-160).  Returns
+    [K, 2, 2] line segments for LineCollection-style drawing."""
+    pos = np.asarray(edge_labels) == 1
+    s = np.asarray(und_senders)[pos]
+    r = np.asarray(und_receivers)[pos]
+    return np.stack(
+        [np.stack([px[s], py[s]], -1), np.stack([px[r], py[r]], -1)], axis=1
+    )
+
+
+def compare_pred_gt_edge_class(det, figsize=(16, 8), roi=None):
+    """GT vs predicted links side by side (compare_plots.py:162-218)."""
+    import matplotlib.pyplot as plt
+
+    roi = roi or {}
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    gt = det.gt
+    eu = det.link_class.shape[0]
+    plot_edge_labels(px, py, gt.und_senders[:eu], gt.und_receivers[:eu],
+                     gt.edge_class[:eu], ax=axes[0], **roi)
+    axes[0].set_title("ground truth links")
+    plot_edge_labels(px, py, gt.und_senders[:eu], gt.und_receivers[:eu],
+                     det.link_class, ax=axes[1], **roi)
+    axes[1].set_title("predicted links")
+    fig.tight_layout()
+    return fig
+
+
+def compare_pred_gt_offsets_edge_labels(det, figsize=(16, 8), roi=None):
+    """Predicted centers + positive predicted links in one comparison
+    (plot_func.py:351-385)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.collections import LineCollection
+
+    roi = roi or {}
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    n = px.shape[0]
+    gt = det.gt
+    eu = det.link_class.shape[0]
+    for ax, centers, labels, title in (
+        (axes[0], det.xy + gt.node_offsets[:n], gt.edge_class[:eu],
+         "ground truth"),
+        (axes[1], det.centers, det.link_class, "prediction"),
+    ):
+        segs = compute_node_pairs(
+            px, py, labels, gt.und_senders[:eu], gt.und_receivers[:eu]
+        )
+        ax.add_collection(
+            LineCollection(segs, colors="tab:green", linewidths=0.8)
+        )
+        ax.scatter(px, py, s=6, c="red", marker=".")
+        ax.scatter(centers[:, 0], centers[:, 1], s=5, c="tab:blue",
+                   marker="+")
+        ax.set_title(title)
+        set_roi(ax, **roi)
+    fig.tight_layout()
+    return fig
+
+
+def _gt_cluster_stats(det):
+    """GT cluster memberships/means/covs from det.gt (truncated to n)."""
+    gt = det.gt
+    n = det.xy.shape[0]
+    n2c = np.asarray(gt.node2cluster[:n])
+    ncl = int(gt.cluster_class.shape[0])
+    mu = np.zeros((ncl, 2))
+    sigma = np.tile(np.eye(2) * 0.25, (ncl, 1, 1))
+    for c in range(ncl):
+        sel = n2c == c
+        if sel.sum() == 0:
+            continue
+        pts = det.xy[sel]
+        mu[c] = pts.mean(0)
+        if sel.sum() > 1:
+            sigma[c] = np.cov(pts.T) + np.eye(2) * 0.25
+    return n2c, ncl, mu, sigma
+
+
+def compare_pred_gt_clusters(det, figsize=(16, 8), roi=None):
+    """GT track clusters vs DBSCAN prediction clusters side by side
+    (plot_func.py:409-447, compare_plots.py:220-261)."""
+    import matplotlib.pyplot as plt
+
+    roi = roi or {}
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    n2c, ncl, mu, sigma = _gt_cluster_stats(det)
+    plot_clusters(px, py, n2c, ncl, ax=axes[0], cluster_mu=mu,
+                  cluster_sigma=sigma,
+                  cluster_class=np.asarray(det.gt.cluster_class), **roi)
+    axes[0].set_title("ground truth clusters")
+    plot_clusters_measurements_and_object_class(det, ax=axes[1], **roi)
+    axes[1].set_title("predicted clusters")
+    fig.tight_layout()
+    return fig
+
+
+def compare_pred_gt_object_classes(det, figsize=(16, 8), roi=None):
+    """GT vs predicted per-cluster object classes
+    (compare_plots.py:263-307): cluster scenes annotated by class."""
+    return compare_pred_gt_clusters(det, figsize=figsize, roi=roi)
+
+
+def save_compare_pred_gt_clusters(det, out_path, figsize=(16, 8), roi=None,
+                                  dpi=100):
+    """Render compare_pred_gt_clusters straight to a PNG
+    (plot_func.py:449-489)."""
+    import matplotlib.pyplot as plt
+
+    fig = compare_pred_gt_clusters(det, figsize=figsize, roi=roi)
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+    return out_path

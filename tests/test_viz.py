@@ -65,3 +65,42 @@ def test_panels_and_gif(det, tmp_path):
     out = V.save_frames_as_gif([fig1, fig2], str(tmp_path / "out.gif"), fps=2)
     assert os.path.getsize(out) > 1000
     plt.close("all")
+
+
+def test_long_tail_functions_render(det, tmp_path):
+    """Every reference plot function has a working twin (PARITY.md map)."""
+    import matplotlib.pyplot as plt
+
+    px, py = det.xy[:, 0], det.xy[:, 1]
+    n = px.shape[0]
+    fr = det.gt
+    centers = det.xy + fr.node_offsets[:n]
+    V.plot_track_centers(px, py, centers[:, 0], centers[:, 1])
+    V.plot_meas_and_gt_labels(px, py, fr.node_class[:n])
+    V.plot_meas_cluster_centers(px, py, fr.node_offsets[:n])
+    V.plot_meas_and_gt_labels_cluster_centers(
+        px, py, fr.node_class[:n], fr.node_offsets[:n]
+    )
+    V.plot_pred_class(det)
+    V.plot_pred_offsets(det)
+    V.plot_pred_edge_class(det)
+    V.plot_clusters_measurements_and_object_class(det)
+    for fig_fn in (
+        V.compare_pred_gt_class,
+        V.compare_pred_gt_offsets,
+        V.compare_pred_gt_offsets_meas,
+        V.compare_pred_gt_edge_class,
+        V.compare_pred_gt_offsets_edge_labels,
+        V.compare_pred_gt_clusters,
+        V.compare_pred_gt_object_classes,
+    ):
+        fig = fig_fn(det)
+        assert fig is not None
+    segs = V.compute_node_pairs(
+        px, py, fr.edge_class, fr.und_senders, fr.und_receivers
+    )
+    assert segs.ndim == 3 and segs.shape[1:] == (2, 2)
+    out = V.save_compare_pred_gt_clusters(det, str(tmp_path / "cmp.png"))
+    assert os.path.exists(out)
+    V.plot_channels(np.random.default_rng(0).random((16, 16, 3)))
+    plt.close("all")
