@@ -148,6 +148,20 @@ def main():
         eval_trend()
         return
 
+    # ---- resume (restore BEFORE the large pool transfers: Orbax restore
+    # and bulk device_put interleave badly on the remote TPU runtime) ----
+    state = create_train_state(cfg, jax.random.key(cfg.seed))
+    starting_iter = 0
+    latest = ckpt.latest_step()
+    if latest is not None:
+        print(f"restoring checkpoint step {latest}...", flush=True)
+        restored = ckpt.restore(latest, template=jax.device_get(state))
+        if not isinstance(restored, TrainState):
+            restored = TrainState(*restored)
+        state = jax.tree.map(jnp.asarray, restored)
+        starting_iter = int(latest)
+        print(f"resumed from checkpoint step {starting_iter}", flush=True)
+
     # ---- data: a fixed pool of bucketed batches, cycled (keeps the host
     # ahead of the device; the pool is large enough that the model cannot
     # memorise single batches) ----
@@ -179,18 +193,6 @@ def main():
     def step(state, item):
         bucket, batch = item
         return bstep(state, bucket, batch)
-
-    # ---- resume ----
-    state = create_train_state(cfg, jax.random.key(cfg.seed))
-    starting_iter = 0
-    latest = ckpt.latest_step()
-    if latest is not None:
-        restored = ckpt.restore(latest, template=jax.device_get(state))
-        if not isinstance(restored, TrainState):
-            restored = TrainState(*restored)
-        state = restored
-        starting_iter = int(latest)
-        print(f"resumed from checkpoint step {starting_iter}", flush=True)
 
     max_iters = (
         min(args.stop_at, args.max_iters) if args.stop_at else args.max_iters
