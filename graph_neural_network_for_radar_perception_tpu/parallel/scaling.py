@@ -40,17 +40,29 @@ def measure_scaling(
     batch_per_device: int = 2,
     make_batch=None,
     iters: int = 10,
+    graph_partition: str = "psum",  # "psum" | "halo"
 ) -> List[Dict]:
     """Weak-scaling sweep: batch grows with the data axis so per-device
     work is constant; efficiency = throughput_n / (n · throughput_1).
 
     mesh_shapes: (n_data, n_graph) pairs; (1, 1) is measured as the
-    single-device baseline automatically."""
+    single-device baseline automatically.  graph_partition picks the
+    edge-partitioning design for n_graph > 1: the psum-per-round shard
+    (parallel/sharded.py) or owner-computes halo exchange
+    (parallel/halo.py, frames spatially sorted on the host)."""
     if make_batch is None:
-        from ..data.pipeline import SyntheticRadarDataset
+        from ..data.pipeline import SyntheticRadarDataset, pad_frame, stack_batch
 
         def make_batch(batch_size: int) -> GraphBatch:
             ds = SyntheticRadarDataset(cfg, seed=0, num_objects=4)
+            if graph_partition == "halo":
+                from .halo import spatial_sort_frame
+
+                items = [
+                    pad_frame(spatial_sort_frame(ds.sample_frame()), cfg)
+                    for _ in range(batch_size)
+                ]
+                return stack_batch(items)
             return jax.tree.map(jnp.asarray, next(ds.batches(batch_size)))
 
     state = create_train_state(cfg, jax.random.key(0))
@@ -64,7 +76,30 @@ def measure_scaling(
             continue
         mesh = make_mesh(n_data=n_data, n_graph=n_graph)
         batch = make_batch(batch_per_device * n_data)
-        if n_graph > 1:
+        if n_graph > 1 and graph_partition == "halo":
+            import numpy as np
+
+            from .halo import make_halo_batch, make_halo_train_step, required_halo
+
+            need = max(
+                required_halo(
+                    jax.tree.map(lambda x: np.asarray(x)[b], batch.graph),
+                    n_graph,
+                )
+                for b in range(batch_per_device * n_data)
+            )
+            halo = max(-(-need // 8) * 8, 8)
+            hstep = make_halo_train_step(cfg, mesh, halo)
+            shards = make_halo_batch(batch, cfg, n_graph, halo)
+            b_dev, s_dev = hstep.place(
+                jax.tree.map(jnp.asarray, batch), shards
+            )
+
+            def step(state, _batch, _h=hstep, _b=b_dev, _s=s_dev):
+                return _h(state, _b, _s)
+
+            batch = b_dev
+        elif n_graph > 1:
             step = make_edge_sharded_train_step(cfg, mesh)
             batch = step.place_batch(batch)
         else:

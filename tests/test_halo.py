@@ -148,3 +148,19 @@ def test_halo_step_four_way(cfg, sorted_batch):
         np.testing.assert_allclose(
             float(m_h[k]), float(m_1[k]), rtol=2e-3, atol=1e-5, err_msg=k
         )
+
+
+def test_scaling_harness_halo_mode():
+    from graph_neural_network_for_radar_perception_tpu.parallel.scaling import (
+        measure_scaling,
+    )
+
+    cfg = tiny_test_config(batch_size=2)
+    res = measure_scaling(
+        cfg, [(1, 1), (2, 2)], batch_per_device=1, iters=2,
+        graph_partition="halo",
+    )
+    assert len(res) == 2
+    assert res[1]["devices"] == 4
+    for r in res:
+        assert r["edge_msgs_per_s"] > 0
