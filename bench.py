@@ -49,12 +49,14 @@ def _batch(cfg, batch_size, num_objects=8, seed=0):
 
 
 def _time_steps(step, state, batch, iters, windows=3):
-    """Median ms/step over `windows` back-to-back windows of `iters` steps.
+    """Min ms/step over `windows` back-to-back windows of `iters` steps.
 
     Steps chain through the (donated) state, so block_until_ready on the
-    final metrics bounds every step in the window; the median over
-    windows suppresses remote-tunnel jitter (measured ±10 % run-to-run,
-    docs/PERF.md)."""
+    final metrics bounds every step in the window — a sequential-
+    dependence ground truth (independent calls can overlap on the remote
+    runtime and would over-report).  The min over windows measures chip
+    capability; remote-tunnel jitter is ±10-30 % run-to-run
+    (docs/PERF.md), all of it additive noise."""
     import jax
 
     state, m = step(state, batch)
@@ -66,7 +68,7 @@ def _time_steps(step, state, batch, iters, windows=3):
             state, m = step(state, batch)
         jax.block_until_ready(m["loss_total"])
         times.append((time.perf_counter() - t0) / iters)
-    return float(np.median(times))
+    return float(np.min(times))
 
 
 def bench_train_b8():
