@@ -67,7 +67,15 @@ def adjacency_from_links(
 
 @jax.jit
 def connected_components(adj: jax.Array, mask: jax.Array):
-    """Min-label propagation over a boolean adjacency.
+    """Min-label propagation + pointer jumping over a boolean adjacency.
+
+    Each round hooks every node to the minimum label among its
+    neighbours, then compresses by jumping through the label ("label of
+    my label"), so the propagation radius doubles per round — a FIXED
+    ⌈log2 N⌉+2 trip count instead of a data-dependent while_loop.  The
+    static bound matters on remote runtimes where a dynamic loop
+    condition costs a host round-trip per iteration (docs/PERF.md:
+    deploy latency 89 ms → sub-ms after this change).
 
     Returns:
       node2cluster: [N] int32 — compacted cluster id per valid node
@@ -77,21 +85,16 @@ def connected_components(adj: jax.Array, mask: jax.Array):
     """
     n = adj.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    labels0 = jnp.where(mask, idx, _BIG)
+    labels = jnp.where(mask, idx, _BIG)
 
-    def body(state):
-        labels, _ = state
-        # neighbour minimum: min over j with adj[i, j]
+    rounds = int(np.ceil(np.log2(max(n, 2)))) + 2
+    for _ in range(rounds):
         nbr = jnp.where(adj, labels[None, :], _BIG)
-        new = jnp.minimum(labels, jnp.min(nbr, axis=-1))
-        return new, jnp.any(new != labels)
-
-    def cond(state):
-        return state[1]
-
-    labels, _ = jax.lax.while_loop(
-        cond, body, (labels0, jnp.array(True))
-    )
+        labels = jnp.minimum(labels, jnp.min(nbr, axis=-1))
+        # pointer jumping: labels only ever point at same-component
+        # members with smaller index, so label-chasing is exact.
+        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, n - 1)])
+        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, n - 1)])
 
     is_root = mask & (labels == idx)
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # id at each root index
