@@ -140,13 +140,23 @@ def bench_stress_dense():
         graph_convolution_stem_channels=(64,) * 14,
     )
     batch = _batch(cfg, 2, num_objects=16, seed=1)
-    valid_e = float(np.asarray(batch.graph.edge_mask).sum(-1).mean())
     state = create_train_state(cfg, jax.random.key(0))
-    dt = _time_steps(make_train_step(cfg), state, batch, 10)
+    # At ~10x fanout the fused onehot Pallas kernel beats the XLA path
+    # (2.6 vs 3.4 ms/step measured, docs/PERF.md) — dense edge tiles are
+    # where keeping gather→MLP→scatter in VMEM pays.
+    dt = _time_steps(
+        make_train_step(cfg, use_fast_path=True, mp_impl="onehot",
+                        pallas_backward=False, donate=True),
+        state, batch, 10,
+    )
+    # NOTE: device→host readbacks of input buffers must happen AFTER
+    # timing — a single np.asarray(batch.…) beforehand flips the remote
+    # runtime into a mode ~40x slower (docs/PERF.md round-3 traps).
+    valid_e = float(np.asarray(batch.graph.edge_mask).sum(-1).mean())
     edges = 2 * cfg.max_edges * 14
     log(
         f"stress_dense: {dt * 1e3:.2f} ms/step (E_cap={cfg.max_edges}, "
-        f"valid E≈{valid_e:.0f}/graph, 14 rounds) → "
+        f"valid E≈{valid_e:.0f}/graph, 14 rounds, fused onehot kernel) → "
         f"{edges / dt:.3e} edge-msgs/s"
     )
     return edges / dt
