@@ -92,9 +92,12 @@ def bench_train_b8():
     # kernel matrix {onehot,csr}x{xla,pallas backward} was measured
     # end-to-end on v5e and the XLA path won (docs/PERF.md); the Pallas
     # kernels remain opt-in via make_train_step(use_fast_path=True).
-    dt = _time_steps(
-        make_train_step(cfg, donate=True), state, batch, 34
-    )
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # last-resort fallback path: CPU steps are ~14 s each
+        dt = _time_steps(make_train_step(cfg, donate=True), state, batch,
+                         2, windows=1)
+    else:
+        dt = _time_steps(make_train_step(cfg, donate=True), state, batch, 34)
     rounds = len(cfg.graph_convolution_stem_channels)
     cap_edges = 8 * cfg.max_edges * rounds
     valid_per_graph = np.asarray(batch.graph.edge_mask).sum(-1)
@@ -272,30 +275,52 @@ def bench_torch(e_cap: int, batch: int = 8):
     return eps
 
 
-def _run_subbench(name: str) -> float:
+def _run_subbench(name: str, timeout: float, env_extra=None):
     """Run one config in a fresh process: loading several large
     executables in one process degrades step times ~30-60x on the remote
     TPU tunnel (executable swapping), so each config gets its own
-    process and prints its value on the last stdout line."""
+    process and prints its value on the last stdout line.
+
+    Returns None on any failure (timeout, crash, unparsable output) —
+    the caller decides whether to retry.  Never raises: round 3's bench
+    died rc=1 on a single wedged-device timeout and the driver recorded
+    no number at all (BENCH_r03.json)."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, __file__, "--sub", name],
-        capture_output=True, text=True, timeout=560,
-    )
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--sub", name],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"{name}: timed out after {timeout:.0f}s")
+        return None
     for line in proc.stderr.splitlines():
         if any(line.startswith(p) for p in
                ("train_b8", "stress_dense", "deploy", "torch_cpu")):
             log(line)
     if proc.returncode != 0:
-        raise RuntimeError(
-            f"{name} failed: {proc.stderr.strip().splitlines()[-3:]}"
-        )
-    return float(proc.stdout.strip().splitlines()[-1])
+        log(f"{name} failed: {proc.stderr.strip().splitlines()[-3:]}")
+        return None
+    try:
+        return float(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        log(f"{name}: unparsable output {proc.stdout.strip()[-200:]!r}")
+        return None
 
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--sub":
+        if os.environ.get("BENCH_FORCE_CPU"):
+            # JAX_PLATFORMS in the env is overridden by the axon
+            # sitecustomize's own config.update; this is the one switch
+            # that works (CLAUDE.md) — must run before any jax op.
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         _enable_compile_cache()
         fn = {
             "train_b8": bench_train_b8,
@@ -306,29 +331,49 @@ def main():
         print(fn())
         return
 
-    headline = _run_subbench("train_b8")
+    # CPU baseline FIRST: heavy host load starves the TPU tunnel relay
+    # (CLAUDE.md), so it must never run concurrently with — or after a
+    # driver-level timeout cuts off — the TPU measurement.
+    base = _run_subbench("torch_cpu", timeout=300)
+
+    # TPU headline with one retry: a timed-out first attempt still
+    # populates the persistent compile cache program-by-program, so the
+    # retry resumes from warm.  Measured cold cost of this path is ~60 s
+    # (jitted init) — the 420 s budget is headroom for tunnel jitter or
+    # a transiently held device.
+    headline = _run_subbench("train_b8", timeout=420)
+    platform = "tpu"
+    if headline is None:
+        log("train_b8: retrying once (cache partially warmed)")
+        headline = _run_subbench("train_b8", timeout=420)
+    if headline is None:
+        log("train_b8: TPU failed twice; CPU-platform fallback "
+            "(honest but slow — indicates a wedged TPU session)")
+        headline = _run_subbench(
+            "train_b8", timeout=300, env_extra={"BENCH_FORCE_CPU": "1"}
+        )
+        platform = "cpu_fallback"
+
     # The dense-stress and deploy configs each pay a multi-minute remote
     # compile on the tunnelled TPU; run them only when budget allows
     # (BENCH_FULL=1).
-    if os.environ.get("BENCH_FULL"):
+    if os.environ.get("BENCH_FULL") and headline is not None:
         for name in ("stress_dense", "deploy"):
-            try:
-                _run_subbench(name)
-            except Exception as exc:
-                log(f"{name} failed: {exc}")
-    try:
-        ratio = headline / _run_subbench("torch_cpu")
-    except Exception as exc:
-        log(f"torch baseline failed: {exc}")
-        ratio = float("nan")
+            _run_subbench(name, timeout=560)
+
+    ratio = float("nan")
+    if headline is not None and base:
+        ratio = headline / base
     print(
         json.dumps({
             "metric": "edge_messages_per_s",
-            "value": headline,
+            "value": headline if headline is not None else 0.0,
             "unit": "edges/s",
             "vs_baseline": ratio,
+            "platform": platform,
         })
     )
+    sys.exit(0)
 
 
 if __name__ == "__main__":

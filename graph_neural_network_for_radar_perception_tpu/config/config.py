@@ -128,6 +128,11 @@ class GNNConfig:
     # reversal closure, ops/pallas/csr_mp.csr_contract_ok) on every frame
     # and raises instead of letting the kernel silently drop edges.
     mp_impl: Optional[str] = None
+    # CSR kernel tiling — the SAME values feed the kernel (fast_forward)
+    # and the host-side contract validation (pad_frame), so the check and
+    # the kernel can never disagree (ADVICE round 3).
+    csr_edge_tile: int = 512
+    csr_window: int = 256
 
     # --- parallelism -------------------------------------------------------
     mesh_axes: Tuple[str, ...] = ("data", "graph")

@@ -245,7 +245,8 @@ def pad_frame(fr: FrameArrays, cfg: GNNConfig):
         from ..ops.pallas.csr_mp import csr_contract_ok
 
         ok, reason = csr_contract_ok(
-            graph.senders, graph.receivers, graph.edge_mask
+            graph.senders, graph.receivers, graph.edge_mask,
+            edge_tile=cfg.csr_edge_tile, window=cfg.csr_window,
         )
         if not ok:
             raise ValueError(

@@ -3,10 +3,11 @@
 The reference runs a numpy BFS on the host inside the model forward,
 forcing a device→CPU→device round trip per frame
 (modules/inference/clustering.py:43-93 invoked from
-gnn_detector.py:164-187).  The TPU-native version is an iterative min-label
-propagation over the thresholded adjacency matrix — a fixed-shape
-``lax.while_loop`` that converges in graph-diameter steps, entirely on
-device — plus a host BFS twin kept for parity tests.
+gnn_detector.py:164-187).  The TPU-native version computes the transitive
+closure of the thresholded adjacency by boolean matrix squaring — a FIXED
+⌈log2 N⌉ trip count of MXU matmuls, exact for every graph topology — then
+reads each node's component root as the minimum reachable index.  A host
+BFS twin is kept for parity tests.
 
 Cluster-id semantics match the reference exactly: the reference's BFS
 assigns ids in scan order of the first unclustered node; min-label
@@ -67,15 +68,21 @@ def adjacency_from_links(
 
 @jax.jit
 def connected_components(adj: jax.Array, mask: jax.Array):
-    """Min-label propagation + pointer jumping over a boolean adjacency.
+    """Exact connected components via boolean adjacency squaring.
 
-    Each round hooks every node to the minimum label among its
-    neighbours, then compresses by jumping through the label ("label of
-    my label"), so the propagation radius doubles per round — a FIXED
-    ⌈log2 N⌉+2 trip count instead of a data-dependent while_loop.  The
-    static bound matters on remote runtimes where a dynamic loop
-    condition costs a host round-trip per iteration (docs/PERF.md:
-    deploy latency 89 ms → sub-ms after this change).
+    ``reach ← reach² > 0`` doubles the covered path length every round,
+    so ⌈log2 N⌉ rounds give the full transitive closure for ANY topology
+    (2^⌈log2 N⌉ ≥ N > diameter) — unlike min-label propagation with a
+    fixed trip count, which under-converges on permuted path graphs
+    (ADVICE round 3: 20/20 permuted 64-node paths split into 3-5
+    clusters).  Each round is one [N,N]×[N,N] matmul on the MXU (bf16
+    inputs, f32 accumulation — exact: entries are 0/1 and row sums ≤ N
+    < 2²⁴).  The static trip count matters on remote runtimes where a
+    data-dependent while_loop costs a host round-trip per iteration
+    (docs/PERF.md: deploy latency 89 ms → sub-ms with static bounds).
+
+    Each node's label is then the minimum valid index it can reach —
+    exact in one pass given the closure.
 
     Returns:
       node2cluster: [N] int32 — compacted cluster id per valid node
@@ -85,16 +92,16 @@ def connected_components(adj: jax.Array, mask: jax.Array):
     """
     n = adj.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    labels = jnp.where(mask, idx, _BIG)
 
-    rounds = int(np.ceil(np.log2(max(n, 2)))) + 2
-    for _ in range(rounds):
-        nbr = jnp.where(adj, labels[None, :], _BIG)
-        labels = jnp.minimum(labels, jnp.min(nbr, axis=-1))
-        # pointer jumping: labels only ever point at same-component
-        # members with smaller index, so label-chasing is exact.
-        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, n - 1)])
-        labels = jnp.minimum(labels, labels[jnp.clip(labels, 0, n - 1)])
+    reach = adj | jnp.eye(n, dtype=bool)
+    for _ in range(int(np.ceil(np.log2(max(n, 2))))):
+        r = reach.astype(jnp.bfloat16)
+        reach = jnp.dot(r, r, preferred_element_type=jnp.float32) > 0
+
+    labels = jnp.min(
+        jnp.where(reach & mask[None, :], idx[None, :], _BIG), axis=-1
+    )
+    labels = jnp.where(mask, labels, _BIG)
 
     is_root = mask & (labels == idx)
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # id at each root index

@@ -81,13 +81,17 @@ def fast_forward(
     cfg: GNNConfig,
     *,
     use_pallas: bool = True,
-    edge_tile: int = 512,
+    edge_tile: Optional[int] = None,
     interpret: bool = False,
     mp_bf16: bool = False,
     pallas_backward: Optional[bool] = None,
     mp_impl: Optional[str] = None,  # "csr" | "onehot"
-    window: int = 256,
+    window: Optional[int] = None,
 ) -> GNNOutputs:
+    # Tiling defaults come from cfg so pad_frame's host-side contract
+    # validation and the kernel always agree (ADVICE round 3).
+    edge_tile = cfg.csr_edge_tile if edge_tile is None else edge_tile
+    window = cfg.csr_window if window is None else window
     assert cfg.norm_layer == "channel_normalization", (
         "fast path supports the shipped channel_normalization config"
     )

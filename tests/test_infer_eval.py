@@ -32,6 +32,53 @@ class TestClustering:
             np.testing.assert_array_equal(ids[:n_valid], host_ids)
             assert (ids[n_valid:] == n_cap).all()
 
+    def test_device_matches_host_on_permuted_paths(self, rng):
+        # ADVICE round 3: fixed-round min-label propagation split permuted
+        # path graphs (20/20 failures on 64-node paths).  Adjacency
+        # squaring must be exact on these worst-case-diameter graphs.
+        for trial in range(20):
+            n_valid, n_cap = 64, 80
+            # a path in a random index order: node perm[i] sits at x=i
+            perm = rng.permutation(n_valid)
+            centers = np.zeros((n_valid, 2), np.float32)
+            centers[perm, 0] = np.arange(n_valid, dtype=np.float32)
+            eps = 1.5  # d²=1 between path neighbours only
+            host_ids = C.dbscan_host(centers, eps)
+            assert host_ids.max() == 0  # sanity: one component
+
+            padded = np.zeros((n_cap, 2), np.float32)
+            padded[:n_valid] = centers
+            padded[n_valid:] = 1e6  # keep padding away from the path
+            mask = np.arange(n_cap) < n_valid
+            ids, num = C.dbscan_on_device(
+                jnp.asarray(padded), jnp.asarray(mask), eps
+            )
+            assert int(num) == 1
+            np.testing.assert_array_equal(
+                np.asarray(ids)[:n_valid], host_ids
+            )
+
+    def test_device_matches_host_on_shuffled_chain(self, rng):
+        # Realistic elongated object: collinear points stored in a shuffled
+        # (temporally interleaved) order — the advisor's second repro.
+        n_valid, n_cap = 40, 48
+        order = rng.permutation(n_valid)
+        centers = np.stack(
+            [0.8 * order.astype(np.float32),
+             0.1 * rng.standard_normal(n_valid).astype(np.float32)],
+            axis=-1,
+        )
+        eps = 1.0  # neighbour d² ≈ 0.64 < 1; skip-one d² ≈ 2.56 > 1
+        host_ids = C.dbscan_host(centers, eps)
+        padded = np.full((n_cap, 2), 1e6, np.float32)
+        padded[:n_valid] = centers
+        mask = np.arange(n_cap) < n_valid
+        ids, num = C.dbscan_on_device(
+            jnp.asarray(padded), jnp.asarray(mask), eps
+        )
+        assert int(num) == host_ids.max() + 1
+        np.testing.assert_array_equal(np.asarray(ids)[:n_valid], host_ids)
+
     def test_adjacency_from_centers_squared_semantics(self):
         # Reference quirk: the SQUARED distance is compared against eps
         # (clustering.py:31-40): d=1.1 → d²=1.21 > eps=1.2 → not adjacent,
