@@ -133,6 +133,20 @@ class GNNConfig:
     # the kernel can never disagree (ADVICE round 3).
     csr_edge_tile: int = 512
     csr_window: int = 256
+    # Source-side window for the CSR kernel: 0 = unwindowed [TE, N] source
+    # gather; > 0 windows the source gather AND the backward's dx source
+    # scatter to [TE, csr_src_window] — the kernel's last O(E·N·D) term
+    # goes away.  Requires spatially-coherent node ids: set spatial_sort
+    # together with this (pad_frame validates the span, fast_forward
+    # NaN-poisons runtime violations).
+    csr_src_window: int = 0
+    # Relabel nodes in x-major spatial order at pad_frame time
+    # (data/ordering.spatial_sort_frame).  Bounds the index distance of
+    # kNN/ball neighbours — the prerequisite for csr_src_window and for
+    # narrow halos in parallel/halo.py.  Model outputs/losses are
+    # permutation-consistent (labels move with nodes); leave False where
+    # bit-parity with reference preprocessing order matters.
+    spatial_sort: bool = False
 
     # --- parallelism -------------------------------------------------------
     mesh_axes: Tuple[str, ...] = ("data", "graph")

@@ -187,6 +187,10 @@ def pad_frame(fr: FrameArrays, cfg: GNNConfig):
     max_nodes=768: RadarScenes dynamic frames are ~10²-10³ points,
     SURVEY.md §2 model-size note).
     """
+    if cfg.spatial_sort:
+        from .ordering import spatial_sort_frame
+
+        fr = spatial_sort_frame(fr)
     n_cap, e_cap = cfg.max_nodes, cfg.max_edges
     eu_cap, c_cap = cfg.max_und_edges, cfg.max_clusters
     n = min(fr.n, n_cap)
@@ -247,6 +251,7 @@ def pad_frame(fr: FrameArrays, cfg: GNNConfig):
         ok, reason = csr_contract_ok(
             graph.senders, graph.receivers, graph.edge_mask,
             edge_tile=cfg.csr_edge_tile, window=cfg.csr_window,
+            src_window=cfg.csr_src_window,
         )
         if not ok:
             raise ValueError(

@@ -87,11 +87,13 @@ def fast_forward(
     pallas_backward: Optional[bool] = None,
     mp_impl: Optional[str] = None,  # "csr" | "onehot"
     window: Optional[int] = None,
+    src_window: Optional[int] = None,
 ) -> GNNOutputs:
     # Tiling defaults come from cfg so pad_frame's host-side contract
     # validation and the kernel always agree (ADVICE round 3).
     edge_tile = cfg.csr_edge_tile if edge_tile is None else edge_tile
     window = cfg.csr_window if window is None else window
+    src_window = cfg.csr_src_window if src_window is None else src_window
     assert cfg.norm_layer == "channel_normalization", (
         "fast path supports the shipped channel_normalization config"
     )
@@ -127,7 +129,7 @@ def fast_forward(
         # encoding exactly once, just enumerated differently.
         from ..ops.pallas.csr_mp import (
             fused_message_pass_csr, reverse_edge_features,
-            window_span_violations,
+            src_window_violations, window_span_violations,
         )
 
         # Runtime contract guard: edges outside their tile's node window
@@ -136,6 +138,10 @@ def fast_forward(
         # metric `skipped` surfaces it (cfg.mp_impl=="csr" additionally
         # validates at pad_frame time and raises early).
         n_viol = window_span_violations(senders, n, edge_tile, window)
+        if src_window:
+            n_viol = n_viol + src_window_violations(
+                receivers, n, edge_tile, src_window
+            )
         guard = jnp.where(n_viol > 0, jnp.nan, 0.0)
 
         edge_feat_in = reverse_edge_features(graph.edge_feat)
@@ -167,7 +173,7 @@ def fast_forward(
             agg = fused_message_pass_csr(
                 x, e, receivers, senders, w1, b1, w2, b2, g1, be1, g2, be2,
                 LEAKY_SLOPE, edge_tile, window, interpret, mp_bf16,
-                pallas_backward,
+                pallas_backward, src_window,
             )
         else:
             agg = fused_message_pass(

@@ -52,8 +52,18 @@ so the fast path gates on config k and tests assert the contract.
 MXU work per TE-tile (D=64, De=64, H=128, D2=64, W=256, N=768 shipped):
 dst-gather TE·W·D + src-gather TE·N·D + 3 first-layer mms TE·D·H·3 +
 second layer TE·H·D2 + scatter TE·W·D2 ≈ 59M MACs vs 134M for the
-round-1 kernel — 2.3× less, and the remaining O(E·N·D) term carries the
-minimum feature width.
+round-1 kernel — 2.3× less.
+
+5. **Source windowing (src_window > 0, round 4)** kills the last
+   O(E·N·D) term: when node ids are spatially coherent
+   (data/ordering.spatial_sort_frame — cfg.spatial_sort), the sources of
+   one edge tile also span a narrow id window, so the source gather AND
+   the backward's dx source scatter become per-tile [TE, Ws] one-hots
+   with SMEM-carried bases (``_src_layout``).  Per-tile MACs drop to
+   ≈42M at Ws=256 and every term is now independent of node capacity —
+   the kernel scales to arbitrary N.  Same poison-not-drop guard as the
+   destination window (``src_window_violations``); src_window=0 keeps
+   the unwindowed [TE, N] gather (bitwise-identical code path, ws=N).
 """
 
 from __future__ import annotations
@@ -106,8 +116,9 @@ def window_span_ok(dst, edge_mask, edge_tile: int, window: int) -> bool:
 
 def csr_contract_ok(
     senders, receivers, edge_mask, edge_tile: int = 512, window: int = 256,
+    src_window: int = 0,
 ) -> tuple:
-    """Host-side validation of BOTH preconditions of the CSR kernel path:
+    """Host-side validation of ALL preconditions of the CSR kernel path:
 
     1. window span: every edge_tile chunk of the sorted destination list
        (= senders, via the reversed-enumeration trick) spans < window-8;
@@ -115,6 +126,10 @@ def csr_contract_ok(
        reverse — required because the kernel walks position p as the edge
        (receivers[p] → senders[p]); edge-capacity truncation (pad_frame)
        can drop one direction of a pair and silently corrupt sums.
+    3. (src_window > 0) source window span: every edge_tile chunk's valid
+       SOURCES (= receivers) span < src_window-8 node ids — holds for
+       kNN/ball graphs on spatially-sorted nodes
+       (data/ordering.spatial_sort_frame).
 
     Returns (ok: bool, reason: str)."""
     import numpy as np
@@ -126,12 +141,42 @@ def csr_contract_ok(
             f"destination window span ≥ {window - 8} within an "
             f"{edge_tile}-edge tile"
         )
+    if src_window:
+        rr = np.asarray(receivers)
+        mask = np.asarray(edge_mask)
+        for c0 in range(0, rr.shape[0], edge_tile):
+            chunk = rr[c0 : c0 + edge_tile][mask[c0 : c0 + edge_tile]]
+            if chunk.size and (
+                int(chunk.max()) - int(chunk.min()) >= src_window - 8
+            ):
+                return False, (
+                    f"source window span ≥ {src_window - 8} within an "
+                    f"{edge_tile}-edge tile (spatially sort the frame or "
+                    "widen csr_src_window)"
+                )
     n = int(max(s.max(initial=0), r.max(initial=0))) + 1
     fwd = np.sort(s.astype(np.int64) * n + r)
     rev = np.sort(r.astype(np.int64) * n + s)
     if fwd.shape != rev.shape or not np.array_equal(fwd, rev):
         return False, "edge set not closed under reversal (truncated pair?)"
     return True, ""
+
+
+def src_window_violations(
+    src, n: int, edge_tile: int, src_window: int
+) -> jax.Array:
+    """Traced count of valid edges whose SOURCE falls outside its tile's
+    source window (the edges `_src_layout` would silently drop).  Zero
+    when src_window is 0/>=n (unwindowed gather).  Same poison-not-drop
+    role as ``window_span_violations`` for the destination side."""
+    e = src.shape[0]
+    rem = (-e) % edge_tile
+    if rem:
+        src = jnp.pad(src, (0, rem), constant_values=n)
+    src = jnp.where(src < n, src, n)
+    ws = min(src_window, n) if src_window else n
+    _, loc = _src_layout(src, n, edge_tile, ws)
+    return jnp.sum((src < n) & (loc == ws))
 
 
 def window_span_violations(
@@ -165,22 +210,40 @@ def _layout(dst, n, edge_tile, window):
     return bases.reshape(-1, 1), loc.astype(jnp.int32)
 
 
+def _src_layout(src, n, edge_tile, ws):
+    """Per-chunk source-window bases + window-local source indices.
+
+    src: [E] int32 sources with sentinel n for padded edges (E a multiple
+    of edge_tile), UNSORTED within a tile — locality comes from spatial
+    node ordering (data/ordering.spatial_sort_frame), not from sorting.
+    Returns (bases [C,1] int32, src_loc [E] int32 with `ws` as the
+    no-match sentinel).  With ws == n every base clips to 0 and this
+    reduces exactly to the unwindowed [TE, N] one-hot gather."""
+    chunks = src.reshape(-1, edge_tile)
+    mins = jnp.min(jnp.where(chunks < n, chunks, n), axis=-1)
+    bases = jnp.clip((mins // 8) * 8, 0, max(n - ws, 0)).astype(jnp.int32)
+    loc = chunks - bases[:, None]
+    loc = jnp.where((chunks < n) & (loc >= 0) & (loc < ws), loc, ws)
+    return bases.reshape(-1, 1), loc.reshape(-1).astype(jnp.int32)
+
+
 def _fwd_kernel(
-    bases_ref, dstloc_ref, src_ref, ef_ref, x_ref,
+    bases_ref, sbases_ref, dstloc_ref, srcloc_ref, ef_ref, x_ref,
     w1r_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, scal_ref,
     out_ref,
-    *, window: int, bf16: bool,
+    *, window: int, src_window: int, bf16: bool,
 ):
     c = pl.program_id(0)
-    n = x_ref.shape[0]
     te = dstloc_ref.shape[0]
     w = window
+    ws = src_window  # == n when source windowing is off
 
     @pl.when(c == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     base = pl.multiple_of(bases_ref[c, 0], 8)
+    sbase = pl.multiple_of(sbases_ref[c, 0], 8)
     g1 = scal_ref[0, 0]
     be1 = scal_ref[0, 1]
     g2 = scal_ref[0, 2]
@@ -190,8 +253,8 @@ def _fwd_kernel(
 
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (te, w), 1)
     oh_dst = (dstloc_ref[:] == iota_w).astype(dt)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
-    oh_src = (src_ref[:] == iota_n).astype(dt)
+    iota_ws = jax.lax.broadcasted_iota(jnp.int32, (te, ws), 1)
+    oh_src = (srcloc_ref[:] == iota_ws).astype(dt)
 
     # One-hot rows select exactly one value → gather dots are exact
     # (Mosaic requires f32 accumulators for bf16 operands; the cast back
@@ -199,7 +262,8 @@ def _fwd_kernel(
     xw = x_ref[pl.ds(base, w), :].astype(dt)
     xd = jnp.dot(oh_dst, xw, preferred_element_type=jnp.float32).astype(dt)
     xs = jnp.dot(
-        oh_src, x_ref[:].astype(dt), preferred_element_type=jnp.float32
+        oh_src, x_ref[pl.ds(sbase, ws), :].astype(dt),
+        preferred_element_type=jnp.float32,
     ).astype(dt)
 
     pre1 = (
@@ -242,13 +306,14 @@ def _probe_bf16_compiles() -> bool:
 
 def _forward_impl(
     x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
-    *, slope, edge_tile, window, interpret, bf16,
+    *, slope, edge_tile, window, interpret, bf16, src_window=0,
 ):
     n, d = x.shape
     e, de = ef.shape
     h = w1.shape[1]
     d2 = w2.shape[1]
     window = min(window, n)
+    ws = min(src_window, n) if src_window else n
 
     rem = (-e) % edge_tile
     if rem:
@@ -259,6 +324,9 @@ def _forward_impl(
     num_tiles = e // edge_tile
 
     bases, dst_loc = _layout(dst, n, edge_tile, window)
+    sbases, src_loc = _src_layout(
+        jnp.where(src < n, src, n).astype(jnp.int32), n, edge_tile, ws
+    )
     w1r, w1s, w1e = w1[:d], w1[d : 2 * d], w1[2 * d :]
     scal = jnp.array([[g1, be1, g2, be2, slope]], dtype=jnp.float32)
 
@@ -266,6 +334,7 @@ def _forward_impl(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # bases [C, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # sbases [C, 1]
             pl.BlockSpec((edge_tile, 1), lambda c: (c, 0)),
             pl.BlockSpec((edge_tile, 1), lambda c: (c, 0)),
             pl.BlockSpec((edge_tile, de), lambda c: (c, 0)),
@@ -281,43 +350,45 @@ def _forward_impl(
         out_specs=pl.BlockSpec((n, d2), lambda c: (0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, window=window, bf16=bf16),
+        functools.partial(
+            _fwd_kernel, window=window, src_window=ws, bf16=bf16
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d2), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * e * (window * (d + d2) + n * d + 3 * d * h + h * d2),
+            flops=2 * e * (window * (d + d2) + ws * d + 3 * d * h + h * d2),
             bytes_accessed=4 * (e * (de + 2) + n * (d + d2)),
             transcendentals=0,
         ),
     )(
-        bases, dst_loc.reshape(e, 1),
-        jnp.where(src < n, src, n).reshape(e, 1).astype(jnp.int32),
+        bases, sbases, dst_loc.reshape(e, 1), src_loc.reshape(e, 1),
         ef, x, w1r, w1s, w1e,
         b1.reshape(1, h), w2, b2.reshape(1, d2), scal,
     )
 
 
 def _bwd_kernel(
-    bases_ref, dstloc_ref, src_ref, ef_ref, x_ref,
+    bases_ref, sbases_ref, dstloc_ref, srcloc_ref, ef_ref, x_ref,
     w1r_ref, w1s_ref, w1e_ref, b1_ref, w2_ref, b2_ref, scal_ref, gout_ref,
     gef_ref, dx_ref,
     dw1r_ref, dw1s_ref, dw1e_ref, db1_ref, dw2_ref, db2_ref,
     dg1_ref, dbe1_ref, dg2_ref, dbe2_ref,
-    *, window: int,
+    *, window: int, src_window: int,
 ):
     c = pl.program_id(0)
-    n = x_ref.shape[0]
     te = dstloc_ref.shape[0]
     h = w1r_ref.shape[1]
     d2 = w2_ref.shape[1]
     w = window
+    ws = src_window  # == n when source windowing is off
 
     @pl.when(c == 0)
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
     base = pl.multiple_of(bases_ref[c, 0], 8)
+    sbase = pl.multiple_of(sbases_ref[c, 0], 8)
     g1 = scal_ref[0, 0]
     be1 = scal_ref[0, 1]
     g2 = scal_ref[0, 2]
@@ -326,13 +397,15 @@ def _bwd_kernel(
 
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (te, w), 1)
     oh_dst = (dstloc_ref[:] == iota_w).astype(jnp.float32)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (te, n), 1)
-    oh_src = (src_ref[:] == iota_n).astype(jnp.float32)
+    iota_ws = jax.lax.broadcasted_iota(jnp.int32, (te, ws), 1)
+    oh_src = (srcloc_ref[:] == iota_ws).astype(jnp.float32)
 
     # --- forward recompute in f32 (gradients are exact at f32) ---
     xw = x_ref[pl.ds(base, w), :]
     xd = jnp.dot(oh_dst, xw, preferred_element_type=jnp.float32)
-    xs = jnp.dot(oh_src, x_ref[:], preferred_element_type=jnp.float32)
+    xs = jnp.dot(
+        oh_src, x_ref[pl.ds(sbase, ws), :], preferred_element_type=jnp.float32
+    )
     pre1 = (
         jnp.dot(xd, w1r_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(xs, w1s_ref[:], preferred_element_type=jnp.float32)
@@ -390,7 +463,7 @@ def _bwd_kernel(
         oh_dst, y_dst, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx_ref[:] += jax.lax.dot_general(
+    dx_ref[pl.ds(sbase, ws), :] += jax.lax.dot_general(
         oh_src, y_src, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -402,7 +475,7 @@ def _bwd_kernel(
 
 def _backward_impl(
     x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2, g_out,
-    *, slope, edge_tile, window, interpret,
+    *, slope, edge_tile, window, interpret, src_window=0,
 ):
     n, d = x.shape
     e, de = ef.shape
@@ -410,6 +483,7 @@ def _backward_impl(
     d2 = w2.shape[1]
     e_orig = e
     window = min(window, n)
+    ws = min(src_window, n) if src_window else n
 
     rem = (-e) % edge_tile
     if rem:
@@ -421,6 +495,9 @@ def _backward_impl(
     c = num_tiles
 
     bases, dst_loc = _layout(dst, n, edge_tile, window)
+    sbases, src_loc = _src_layout(
+        jnp.where(src < n, src, n).astype(jnp.int32), n, edge_tile, ws
+    )
     w1r, w1s, w1e = w1[:d], w1[d : 2 * d], w1[2 * d :]
     scal = jnp.array([[g1, be1, g2, be2, slope]], dtype=jnp.float32)
 
@@ -429,6 +506,7 @@ def _backward_impl(
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((edge_tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((edge_tile, 1), lambda i: (i, 0)),
@@ -446,7 +524,7 @@ def _backward_impl(
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, window=window),
+        functools.partial(_bwd_kernel, window=window, src_window=ws),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e, de), jnp.float32),
@@ -464,13 +542,12 @@ def _backward_impl(
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * e * (window * (d + d2) + n * d + 3 * d * h + h * d2),
+            flops=4 * e * (window * (d + d2) + ws * d + 3 * d * h + h * d2),
             bytes_accessed=4 * (2 * e * de + 2 * n * d + n * d2),
             transcendentals=0,
         ),
     )(
-        bases, dst_loc.reshape(e, 1),
-        jnp.where(src < n, src, n).reshape(e, 1).astype(jnp.int32),
+        bases, sbases, dst_loc.reshape(e, 1), src_loc.reshape(e, 1),
         ef, x, w1r, w1s, w1e,
         b1.reshape(1, h), w2, b2.reshape(1, d2), scal, g_out,
     )
@@ -494,12 +571,14 @@ def _backward_impl(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18)
+)
 def fused_message_pass_csr(
     x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
     slope: float = 0.01, edge_tile: int = 512, window: int = 256,
     interpret: bool = False, bf16: bool = False,
-    pallas_backward: bool = True,
+    pallas_backward: bool = True, src_window: int = 0,
 ):
     """agg[n] = Σ_{e: dst=n} msgMLP([x_dst ‖ x_src ‖ ef]).
 
@@ -510,32 +589,42 @@ def fused_message_pass_csr(
     reference's message(x_i=receiver, x_j=sender, e) concatenation
     (gnn_blocks.py:112).  Callers must satisfy the window-span contract
     (module docstring); ``window_span_ok`` verifies it for concrete data.
+
+    src_window > 0 additionally windows the SOURCE gather to a per-tile
+    [TE, src_window] one-hot (and the backward's dx source scatter
+    likewise) — killing the kernel's only O(E·N·D) term.  Requires
+    spatially-coherent node ids (data/ordering.spatial_sort_frame) so
+    every tile's sources span < src_window-8 ids; out-of-window sources
+    are dropped by the kernel, so callers must guard with
+    ``src_window_violations`` (fast_path NaN-poisons) or validate with
+    ``csr_contract_ok``.  0 = unwindowed [TE, N] gather.
     """
     return _forward_impl(
         x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
         slope=slope, edge_tile=edge_tile, window=window,
-        interpret=interpret, bf16=bf16,
+        interpret=interpret, bf16=bf16, src_window=src_window,
     )
 
 
 def _fwd(x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
-         slope, edge_tile, window, interpret, bf16, pallas_backward):
+         slope, edge_tile, window, interpret, bf16, pallas_backward,
+         src_window):
     out = _forward_impl(
         x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2,
         slope=slope, edge_tile=edge_tile, window=window,
-        interpret=interpret, bf16=bf16,
+        interpret=interpret, bf16=bf16, src_window=src_window,
     )
     return out, (x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2)
 
 
 def _bwd(slope, edge_tile, window, interpret, bf16, pallas_backward,
-         res, g_out):
+         src_window, res, g_out):
     (x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2) = res
     if pallas_backward:
         (dx, def_, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2) = _backward_impl(
             x, ef, src, dst, w1, b1, w2, b2, g1, be1, g2, be2, g_out,
             slope=slope, edge_tile=edge_tile, window=window,
-            interpret=interpret,
+            interpret=interpret, src_window=src_window,
         )
         return (
             dx, def_, None, None, dw1, db1, dw2, db2, dg1, dbe1, dg2, dbe2,

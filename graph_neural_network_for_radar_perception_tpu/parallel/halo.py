@@ -63,44 +63,10 @@ from ..train.steps import TrainState, all_finite, apply_if, make_optimizer
 # ---------------------------------------------------------------------------
 
 
-def spatial_sort_frame(fr):
-    """Permute a FrameArrays' nodes into x-major spatial order and rebuild
-    the canonical edge enumerations.
-
-    Sorting nodes by (px, py) bounds the index distance between kNN
-    neighbours, which is what keeps halos narrow.  All node-aligned
-    arrays are permuted consistently; the directed edge list is re-sorted
-    into row-major (sender-major) order and the undirected list into
-    canonical triu order, with edge features/labels carried along — the
-    same contracts ops/graph_build.py establishes on unsorted frames.
-    """
-    order = np.lexsort((fr.other_feat[:, 1], fr.other_feat[:, 0]))
-    inv = np.empty_like(order)
-    inv[order] = np.arange(order.size)
-
-    s = inv[fr.senders]
-    r = inv[fr.receivers]
-    eorder = np.lexsort((r, s))
-
-    us = inv[fr.und_senders]
-    ur = inv[fr.und_receivers]
-    lo, hi = np.minimum(us, ur), np.maximum(us, ur)
-    uorder = np.lexsort((hi, lo))
-
-    return dataclasses.replace(
-        fr,
-        node_feat=fr.node_feat[order],
-        other_feat=fr.other_feat[order],
-        node_class=fr.node_class[order],
-        node_offsets=fr.node_offsets[order],
-        node2cluster=fr.node2cluster[order],
-        senders=s[eorder],
-        receivers=r[eorder],
-        edge_feat=fr.edge_feat[eorder],
-        und_senders=lo[uorder],
-        und_receivers=hi[uorder],
-        edge_class=fr.edge_class[uorder],
-    )
+# spatial_sort_frame lives in the data layer now (data/ordering.py) so the
+# input pipeline can apply it without importing the parallel stack; it is
+# re-exported here because the halo layout is its other consumer.
+from ..data.ordering import spatial_sort_frame  # noqa: E402,F401
 
 
 @_pytree_dataclass

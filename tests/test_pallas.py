@@ -408,3 +408,164 @@ def test_fast_path_csr_poisons_on_span_violation(rng):
     )
     # window=8 << span of 16-edge tiles on this graph -> must be poisoned.
     assert not np.isfinite(np.asarray(out.node_cls)).all()
+
+
+# ---------------------------------------------------------------------------
+# Source-windowed CSR kernel (csr_src_window > 0) — ops/pallas/csr_mp.py
+# ---------------------------------------------------------------------------
+
+def _banded_problem(rng, n=96, d=32, de=16, h=64, d2=32, k=6, pad=37):
+    """Symmetric BANDED edge set (|i-j| <= k) in row-major order — the
+    spatially-local index structure data/ordering.spatial_sort_frame
+    produces, where every edge tile's sources span a narrow window."""
+    adj = np.zeros((n, n), bool)
+    for i in range(n):
+        lo, hi = max(0, i - k), min(n, i + k + 1)
+        adj[i, lo:hi] = True
+        adj[i, i] = False
+    s, r = np.nonzero(adj)
+    e = s.shape[0]
+    src = np.concatenate([r, np.full(pad, n)]).astype(np.int32)
+    dst = np.concatenate([s, np.full(pad, n)]).astype(np.int32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    ef = np.concatenate(
+        [rng.normal(size=(e, de)), np.zeros((pad, de))]
+    ).astype(np.float32)
+    w1 = (rng.normal(size=(2 * d + de, h)) * 0.1).astype(np.float32)
+    b1 = (rng.normal(size=(h,)) * 0.1).astype(np.float32)
+    w2 = (rng.normal(size=(h, d2)) * 0.1).astype(np.float32)
+    b2 = (rng.normal(size=(d2,)) * 0.1).astype(np.float32)
+    sc = (np.float32(1.1), np.float32(0.05), np.float32(0.9),
+          np.float32(-0.02))
+    return [jnp.asarray(a) for a in (x, ef, src, dst, w1, b1, w2, b2, *sc)]
+
+
+def test_csr_src_windowed_forward_matches_xla(rng):
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas import (
+        csr_mp,
+    )
+
+    args = _banded_problem(rng)
+    # src_window=64 on a banded graph (span per 128-edge tile << 56).
+    got = csr_mp.fused_message_pass_csr(
+        *args, 0.01, 128, 64, True, False, True, 64
+    )
+    want = fused_mp._xla_reference(*args, slope=0.01)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("pallas_bwd", [False, True])
+def test_csr_src_windowed_gradients_match_xla(rng, pallas_bwd):
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas import (
+        csr_mp,
+    )
+
+    args = _banded_problem(rng)
+
+    def loss_kernel(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        out = csr_mp.fused_message_pass_csr(
+            x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
+            0.01, 128, 64, True, False, pallas_bwd, 64,
+        )
+        return jnp.sum(out * out)
+
+    def loss_xla(x, ef, w1, b1, w2, b2, g1, be1, g2, be2):
+        out = fused_mp._xla_reference(
+            x, ef, args[2], args[3], w1, b1, w2, b2, g1, be1, g2, be2,
+            slope=0.01,
+        )
+        return jnp.sum(out * out)
+
+    diff_args = [args[0], args[1]] + args[4:]
+    gk = jax.grad(loss_kernel, argnums=tuple(range(10)))(*diff_args)
+    gx = jax.grad(loss_xla, argnums=tuple(range(10)))(*diff_args)
+    for i, (a, b) in enumerate(zip(gk, gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad {i}",
+        )
+
+
+def test_src_window_contract_guards(rng):
+    """Random (non-local) indices violate the source-window contract:
+    the host check refuses, the traced counter is nonzero, and the
+    fast path poisons — never wrong sums."""
+    from graph_neural_network_for_radar_perception_tpu.ops.pallas.csr_mp import (
+        csr_contract_ok, src_window_violations,
+    )
+
+    n = 96
+    args = _symmetric_problem(rng, n=n)
+    src, dst = np.asarray(args[2]), np.asarray(args[3])
+    mask = dst < n
+    # Random kNN indices: some 128-edge tile spans ~n sources >> 32-8.
+    ok, reason = csr_contract_ok(
+        np.where(mask, dst, n), np.where(mask, src, n), mask,
+        edge_tile=128, window=64, src_window=32,
+    )
+    assert not ok and "source window" in reason
+    viol = src_window_violations(
+        jnp.asarray(src, jnp.int32), n, edge_tile=128, src_window=32
+    )
+    assert int(viol) > 0
+    # The banded problem passes the same check.
+    bargs = _banded_problem(rng, n=n)
+    bsrc, bdst = np.asarray(bargs[2]), np.asarray(bargs[3])
+    bmask = bdst < n
+    ok, _ = csr_contract_ok(
+        np.where(bmask, bdst, n), np.where(bmask, bsrc, n), bmask,
+        edge_tile=128, window=64, src_window=64,
+    )
+    assert ok
+    assert int(src_window_violations(
+        jnp.asarray(bsrc, jnp.int32), n, edge_tile=128, src_window=64
+    )) == 0
+
+
+def test_fast_path_csr_src_windowed_spatial_sort(rng):
+    """End-to-end: cfg(spatial_sort=True, csr_src_window) builds frames
+    whose sorted node ids satisfy the source-window contract, and the
+    src-windowed fast path matches the flax model on them."""
+    import dataclasses as dc
+
+    from graph_neural_network_for_radar_perception_tpu.config.config import (
+        tiny_test_config,
+    )
+    from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+        SyntheticRadarDataset, pad_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.fast_path import (
+        fast_forward,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import RadarGNN
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        init_params,
+    )
+
+    cfg = tiny_test_config(
+        mp_impl="csr", spatial_sort=True, csr_edge_tile=128, csr_window=64,
+        max_nodes=128, max_clusters=64,
+    )
+    # 96 < max_nodes=128: the source gather is REALLY windowed (a value
+    # >= the node capacity would clip to the unwindowed path).
+    cfg = dc.replace(cfg, csr_src_window=96)
+    params = init_params(cfg, jax.random.key(3))
+    ds = SyntheticRadarDataset(cfg, seed=2, num_objects=2)
+    g, lbl = pad_frame(ds.sample_frame(), cfg)  # validates the contract
+    g = jax.tree.map(jnp.asarray, g)
+    n2c = jnp.asarray(lbl.node2cluster)
+    cm = jnp.asarray(lbl.cluster_mask)
+    want = RadarGNN(cfg).apply(
+        {"params": params}, g, n2c, cfg.max_clusters, cm
+    )
+    got = fast_forward(
+        params, g, n2c, cfg.max_clusters, cm, cfg,
+        interpret=True, mp_impl="csr",
+    )
+    for name in ("node_cls", "node_offsets", "edge_cls", "obj_cls"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-4, atol=2e-5, err_msg=name,
+        )
