@@ -145,8 +145,9 @@ def bench_stress_dense():
     batch = _batch(cfg, 2, num_objects=16, seed=1)
     state = create_train_state(cfg, jax.random.key(0))
     # At ~10x fanout the fused onehot Pallas kernel beats the XLA path
-    # (2.6 vs 3.4 ms/step measured, docs/PERF.md) — dense edge tiles are
-    # where keeping gather→MLP→scatter in VMEM pays.
+    # (1.67 vs 1.85 ms/step round-4; 2.6 vs 3.4 round-3 — docs/PERF.md)
+    # — dense edge tiles are where keeping gather→MLP→scatter in VMEM
+    # pays.
     dt = _time_steps(
         make_train_step(cfg, use_fast_path=True, mp_impl="onehot",
                         pallas_backward=False, donate=True),
