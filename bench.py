@@ -266,11 +266,15 @@ def bench_torch(e_cap: int, batch: int = 8):
         opt.step()
 
     step()
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # Min over iters = capability number, robust to transient host
+    # contention (e.g. the untimed TPU session warmer running alongside)
+    # — the same methodology as the TPU min-of-chained-windows.
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         step()
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     eps = batch * e_cap * ROUNDS / dt
     log(f"torch_cpu: {dt * 1e3:.1f} ms/step → {eps:.3e} edge-msgs/s")
     return eps
@@ -361,19 +365,33 @@ def main():
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
 
-    # CPU baseline now: heavy host load starves the TPU tunnel relay
-    # (CLAUDE.md), so it must never run concurrently with a TPU
-    # *measurement* (the untimed warmer above is fine) — and it must run
-    # before anything that could exhaust the driver's budget.
-    base = _run_subbench("torch_cpu", timeout=300)
+    try:
+        # CPU baseline now: heavy host load starves the TPU tunnel relay
+        # (CLAUDE.md), so it must never run concurrently with a TPU
+        # *measurement* (the warmer above is untimed and I/O-bound, and
+        # bench_torch reports a min-of-iters capability number, so
+        # neither timing corrupts the other) — and the baseline must run
+        # before anything that could exhaust the driver's budget.
+        base = _run_subbench("torch_cpu", timeout=300)
 
-    if warm_proc is not None:
-        try:
-            warm_proc.wait(timeout=900)
-            log("warm: TPU session established")
-        except subprocess.TimeoutExpired:
+        if warm_proc is not None:
+            try:
+                warm_proc.wait(timeout=900)
+                if warm_proc.returncode == 0:
+                    log("warm: TPU session established")
+                else:
+                    log(f"warm: warmer exited rc={warm_proc.returncode} — "
+                        "session state unknown, proceeding")
+            except subprocess.TimeoutExpired:
+                warm_proc.kill()
+                warm_proc.wait()
+                log("warm: session establishment still pending after 900 s")
+    finally:
+        # Never orphan the warmer: the axon session is EXCLUSIVE per
+        # process — a leaked warmer makes every later TPU run hang.
+        if warm_proc is not None and warm_proc.poll() is None:
             warm_proc.kill()
-            log("warm: session establishment still pending after 900 s")
+            warm_proc.wait()
 
     # TPU headline with one retry: a timed-out first attempt still
     # populates the persistent compile cache program-by-program (and the

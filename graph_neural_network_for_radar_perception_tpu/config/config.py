@@ -157,6 +157,13 @@ class GNNConfig:
 
     def __post_init__(self):
         self.input_node_feat_dim = 6 if self.include_region_confidence else 4
+        # The CSR kernel's window bases carry a pl.multiple_of(·, 8)
+        # promise; misaligned sizes are safe (floor-aligned clip +
+        # poison guard, ops/pallas/csr_mp._layout) but waste window rows
+        # — reject them early where they're a config mistake.
+        for name in ("max_nodes", "csr_window", "csr_src_window"):
+            if getattr(self, name) % 8:
+                raise ValueError(f"{name} must be a multiple of 8")
 
     # Derived quantities ----------------------------------------------------
     @property

@@ -248,10 +248,15 @@ def pad_frame(fr: FrameArrays, cfg: GNNConfig):
         # (defense-in-depth: fast_path also NaN-poisons violations).
         from ..ops.pallas.csr_mp import csr_contract_ok
 
+        # src_window >= node capacity clips to the exact unwindowed gather
+        # in the kernel (ws=N), so only validate real windows.
+        src_window = (
+            cfg.csr_src_window if cfg.csr_src_window < cfg.max_nodes else 0
+        )
         ok, reason = csr_contract_ok(
             graph.senders, graph.receivers, graph.edge_mask,
             edge_tile=cfg.csr_edge_tile, window=cfg.csr_window,
-            src_window=cfg.csr_src_window,
+            src_window=src_window,
         )
         if not ok:
             raise ValueError(

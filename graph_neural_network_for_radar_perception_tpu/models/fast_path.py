@@ -55,19 +55,20 @@ def _head(p, x):
 def default_mp_impl(cfg: GNNConfig) -> str:
     """Pick the message-passing kernel for a config.
 
-    Default "onehot" — measured end-to-end on TPU v5e (2026-08, batch 8,
-    N=768, E_cap=15360, 100 steady-state iters, see docs/PERF.md):
+    Default "onehot" — measured end-to-end on TPU v5e (see docs/PERF.md;
+    round-4 runtime, dense-fanout stress config E_cap=76.8k/14 rounds):
 
-        XLA model path          1.87–2.06 ms/step   ← production default
-        onehot + XLA backward   1.87–2.28 ms/step   (tied within noise)
-        onehot + Pallas bwd     2.86 ms/step
-        csr    + XLA backward   2.45 ms/step
-        csr    + Pallas bwd     7.15–8.25 ms/step   (round-2 regression)
+        onehot + XLA backward   1.67 ms/step   ← dense-fanout winner
+        csr    + XLA backward   1.83 ms/step
+        XLA model path          1.85 ms/step
 
-    "csr" (ops/pallas/csr_mp.py) is analytically cheaper (windowed
-    destination one-hot) but loses on this hardware until its source
-    gather and backward stop using full [TE, N] one-hots; it stays
-    opt-in via mp_impl="csr"."""
+    At the shipped k=10 sparsity the plain XLA model path wins outright
+    (1.18 ms/step headline, ~93 % MFU) — the fast path itself is opt-in
+    (`make_train_step(use_fast_path=True)`).  "csr" now supports source
+    windowing (cfg.csr_src_window + cfg.spatial_sort) which removes its
+    last O(E·N·D) term, but the source-window contract does not hold on
+    kNN radar scenes (isolated points ⇒ unbounded-radius edges — PERF.md
+    round 4), so csr stays opt-in for bounded-radius graph workloads."""
     del cfg
     return "onehot"
 

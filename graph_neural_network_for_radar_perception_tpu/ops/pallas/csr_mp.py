@@ -141,19 +141,14 @@ def csr_contract_ok(
             f"destination window span ≥ {window - 8} within an "
             f"{edge_tile}-edge tile"
         )
-    if src_window:
-        rr = np.asarray(receivers)
-        mask = np.asarray(edge_mask)
-        for c0 in range(0, rr.shape[0], edge_tile):
-            chunk = rr[c0 : c0 + edge_tile][mask[c0 : c0 + edge_tile]]
-            if chunk.size and (
-                int(chunk.max()) - int(chunk.min()) >= src_window - 8
-            ):
-                return False, (
-                    f"source window span ≥ {src_window - 8} within an "
-                    f"{edge_tile}-edge tile (spatially sort the frame or "
-                    "widen csr_src_window)"
-                )
+    if src_window and not window_span_ok(
+        receivers, edge_mask, edge_tile, src_window
+    ):
+        return False, (
+            f"source window span ≥ {src_window - 8} within an "
+            f"{edge_tile}-edge tile (spatially sort the frame or "
+            "widen csr_src_window)"
+        )
     n = int(max(s.max(initial=0), r.max(initial=0))) + 1
     fwd = np.sort(s.astype(np.int64) * n + r)
     rev = np.sort(r.astype(np.int64) * n + s)
@@ -202,7 +197,12 @@ def _layout(dst, n, edge_tile, window):
     (E a multiple of edge_tile).  Returns (bases [C,1] int32, dst_loc
     [E] int32 with `window` as the no-match sentinel)."""
     firsts = dst[::edge_tile]
-    bases = jnp.clip((firsts // 8) * 8, 0, max(n - window, 0))
+    # The clip bound is floor-8-aligned so every base honours the
+    # kernel's pl.multiple_of(base, 8) promise for ANY (n, window); with
+    # (n - window) % 8 != 0 the top few node ids then fall outside the
+    # highest window and are flagged by the loc sentinel (poisoned, not
+    # silently mis-sliced).
+    bases = jnp.clip((firsts // 8) * 8, 0, max(((n - window) // 8) * 8, 0))
     bases = bases.astype(jnp.int32)
     loc = dst - jnp.repeat(bases, edge_tile, total_repeat_length=dst.shape[0])
     # Sentinel / out-of-window edges → `window` (matches no one-hot column).
@@ -221,7 +221,11 @@ def _src_layout(src, n, edge_tile, ws):
     reduces exactly to the unwindowed [TE, N] one-hot gather."""
     chunks = src.reshape(-1, edge_tile)
     mins = jnp.min(jnp.where(chunks < n, chunks, n), axis=-1)
-    bases = jnp.clip((mins // 8) * 8, 0, max(n - ws, 0)).astype(jnp.int32)
+    # Floor-8-aligned clip bound: see _layout — keeps the kernel's
+    # pl.multiple_of(base, 8) promise true for any (n, ws).
+    bases = jnp.clip(
+        (mins // 8) * 8, 0, max(((n - ws) // 8) * 8, 0)
+    ).astype(jnp.int32)
     loc = chunks - bases[:, None]
     loc = jnp.where((chunks < n) & (loc >= 0) & (loc < ws), loc, ws)
     return bases.reshape(-1, 1), loc.reshape(-1).astype(jnp.int32)
