@@ -93,3 +93,104 @@ def test_detection_eval_driver(trained):
 
     res = precision_recall(acc.cm)
     assert np.isfinite(res["precision"]).all()
+
+
+def test_packing_block_diagonal_equivalence():
+    """Packed (merged) graphs are numerically identical to separate
+    graphs: per-node/edge/cluster outputs match at the offset positions
+    and the per-graph loss sums are exactly additive — the correctness
+    contract behind the occupancy lever (data/pipeline.merge_frames)."""
+    from graph_neural_network_for_radar_perception_tpu.data import (
+        pipeline as P,
+    )
+    from graph_neural_network_for_radar_perception_tpu.models.gnn import (
+        RadarGNN,
+    )
+    from graph_neural_network_for_radar_perception_tpu.train.loss import (
+        graph_loss_sums,
+    )
+
+    cfg = tiny_test_config()
+    ds = SyntheticRadarDataset(cfg, seed=11, num_objects=1)
+    frames, acc = [], (0, 0, 0, 0)
+    while len(frames) < 2:
+        fr = ds.sample_frame()
+        if P.frame_fits(acc, fr, cfg):
+            frames.append(fr)
+            acc = P._acc_add(acc, fr)
+    merged = P.merge_frames(frames)
+    params = T.init_params(cfg, jax.random.key(3))
+    model = RadarGNN(cfg)
+
+    def fwd(fr):
+        g, l = P.pad_frame(fr, cfg)
+        g = jax.tree.map(jnp.asarray, g)
+        l = jax.tree.map(jnp.asarray, l)
+        out = model.apply(
+            {"params": params}, g, l.node2cluster, cfg.max_clusters,
+            l.cluster_mask,
+        )
+        return g, l, out
+
+    gm, lm, om = fwd(merged)
+    n0, eu0, c0 = 0, 0, 0
+    for fr in frames:
+        _, _, o = fwd(fr)
+        n, eu = fr.n, fr.und_senders.shape[0]
+        c = fr.cluster_class.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(om.node_cls[n0:n0 + n]),
+            np.asarray(o.node_cls[:n]), rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(om.node_offsets[n0:n0 + n]),
+            np.asarray(o.node_offsets[:n]), rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(om.edge_cls[eu0:eu0 + eu]),
+            np.asarray(o.edge_cls[:eu]), rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(om.obj_cls[c0:c0 + c]),
+            np.asarray(o.obj_cls[:c]), rtol=2e-5, atol=2e-5,
+        )
+        n0, eu0, c0 = n0 + n, eu0 + eu, c0 + c
+
+    sums_m = graph_loss_sums(om, gm, lm, cfg)
+    per = []
+    for fr in frames:
+        g, l, o = fwd(fr)
+        per.append(graph_loss_sums(o, g, l, cfg))
+    for name in sums_m._fields:
+        total = sum(float(getattr(s, name)) for s in per)
+        np.testing.assert_allclose(
+            float(getattr(sums_m, name)), total, rtol=1e-4, atol=1e-4,
+            err_msg=f"loss sum {name} not additive under packing",
+        )
+
+
+def test_packed_batches_occupancy():
+    """packed_batches fills slots to materially higher occupancy than
+    batches() at the same capacities."""
+    cfg = tiny_test_config()
+    ds = SyntheticRadarDataset(cfg, seed=5, num_objects=1)
+    plain = next(ds.batches(4))
+    ds2 = SyntheticRadarDataset(cfg, seed=5, num_objects=1)
+    packed = next(ds2.packed_batches(4))
+
+    def occ(batch, field="edge_mask"):
+        return float(np.mean(np.asarray(getattr(batch.graph, field))))
+
+    # Node capacity binds on the tiny config (valid E ≈ 13N < E_cap=20N),
+    # so assert on node occupancy; the bench config reports edge occupancy.
+    assert occ(packed) > occ(plain)
+    assert occ(packed, "node_mask") > occ(plain, "node_mask") + 0.1
+    assert occ(packed, "node_mask") > 0.65
+    # Labels stay consistent: every valid node's cluster slot is valid.
+    n2c = np.asarray(packed.labels.node2cluster)
+    nm = np.asarray(packed.graph.node_mask)
+    cm = np.asarray(packed.labels.cluster_mask)
+    for b in range(n2c.shape[0]):
+        slots = n2c[b][nm[b]]
+        assert (slots < cfg.max_clusters).all()
+        assert cm[b][slots].all()
