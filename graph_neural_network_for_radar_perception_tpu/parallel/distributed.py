@@ -151,19 +151,27 @@ def assert_same_across_processes(tree, name: str = "tree") -> None:
 def multihost_train_setup(
     cfg,
     n_graph: int = 1,
+    graph_partition: str = "edge",
+    halo: int = 16,
 ) -> Tuple[Mesh, "object"]:
     """Mesh + sharded train step for a multi-host run.
 
     Returns (mesh, train_step); the step is the same pjit program as
-    parallel/sharded.make_dp_train_step (n_graph == 1) or
-    make_edge_sharded_train_step (n_graph > 1) — multi-host changes only
-    where the data comes from, not the compiled program.
+    parallel/sharded.make_dp_train_step (n_graph == 1),
+    make_edge_sharded_train_step (n_graph > 1, graph_partition='edge'),
+    or halo.make_halo_train_step (graph_partition='halo' — the
+    owner-computes flagship path; requires spatially-sorted frames and a
+    static halo width) — multi-host changes only where the data comes
+    from, not the compiled program.
     """
+    from .halo import make_halo_train_step
     from .sharded import make_dp_train_step, make_edge_sharded_train_step
 
     mesh = make_multihost_mesh(n_graph=n_graph)
     if n_graph == 1:
         step = make_dp_train_step(cfg, mesh)
+    elif graph_partition == "halo":
+        step = make_halo_train_step(cfg, mesh, halo)
     else:
         step = make_edge_sharded_train_step(cfg, mesh)
     return mesh, step

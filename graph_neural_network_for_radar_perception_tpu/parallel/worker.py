@@ -33,6 +33,10 @@ def main(argv=None) -> None:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--global-batch", type=int, default=8)
     ap.add_argument("--n-graph", type=int, default=1)
+    ap.add_argument("--graph-partition", default="edge",
+                    choices=["edge", "halo"],
+                    help="n_graph>1 partitioning mode: psum-per-round edge "
+                         "sharding or owner-computes halo exchange")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     ap.add_argument("--local-devices", type=int, default=None,
                     help="virtual CPU device count (tests)")
@@ -75,28 +79,73 @@ def main(argv=None) -> None:
     from ..data.pipeline import SyntheticRadarDataset
     from ..parallel.mesh import edge_sharded_batch_specs
 
-    cfg = tiny_test_config(batch_size=args.global_batch)
-    mesh, step = multihost_train_setup(cfg, n_graph=args.n_graph)
+    halo_mode = args.n_graph > 1 and args.graph_partition == "halo"
+    cfg = tiny_test_config(
+        batch_size=args.global_batch, spatial_sort=halo_mode
+    )
+    # Deterministic synthetic stream → every process sees the same global
+    # batches; pregenerate them so the halo width (a static jit argument)
+    # can be sized to the worst frame of the run identically everywhere.
+    ds = SyntheticRadarDataset(cfg, seed=args.seed, num_objects=2)
+    fulls = [next(ds.batches(args.global_batch)) for _ in range(args.steps)]
+
+    halo = 16
+    if halo_mode:
+        from .halo import make_halo_batch, required_halo
+
+        need = max(
+            required_halo(
+                jax.tree.map(lambda x: np.asarray(x)[b], full.graph),
+                args.n_graph,
+            )
+            for full in fulls
+            for b in range(args.global_batch)
+        )
+        halo = 8 * max(1, -(-need // 8))
+
+    mesh, step = multihost_train_setup(
+        cfg, n_graph=args.n_graph,
+        graph_partition=args.graph_partition, halo=halo,
+    )
     state = replicated_create_state(cfg, mesh, seed=cfg.seed)
     assert_same_across_processes(state.params, "initial params")
 
-    # Per-host feeding: the synthetic stream is deterministic in its seed,
-    # so each process can materialise exactly its slice of the global
-    # batch (real-data pipelines shard the frame index list the same way).
+    # Per-host feeding: each process materialises exactly its slice of
+    # the global batch (real-data pipelines shard the frame index list
+    # the same way).
+    from jax.sharding import PartitionSpec as P
+
     sl = process_local_batch_slice(args.global_batch, mesh)
-    ds = SyntheticRadarDataset(cfg, seed=args.seed, num_objects=2)
     specs = (
         edge_sharded_batch_specs(None)
-        if args.n_graph > 1
+        if args.n_graph > 1 and not halo_mode
         else None
     )
 
-    metrics, batch = None, None
-    for _ in range(args.steps):
-        full = next(ds.batches(args.global_batch))
+    def feed(full):
         local = jax.tree.map(lambda x: np.asarray(x)[sl], full)
-        batch = globalize_batch(mesh, local, specs)
-        state, metrics = step(state, batch)
+        batch = globalize_batch(
+            mesh, local,
+            jax.tree.map(lambda _: P("data"), local) if halo_mode else specs,
+        )
+        if not halo_mode:
+            return batch, None
+        # Owner-assign this process's frames' edges on the host; the
+        # [B, G, ...] shard arrays are global over ('data', 'graph').
+        local_shards = make_halo_batch(local, cfg, args.n_graph, halo)
+        shards = globalize_batch(
+            mesh, local_shards,
+            jax.tree.map(lambda _: P("data", "graph"), local_shards),
+        )
+        return batch, shards
+
+    metrics, batch, shards = None, None, None
+    for full in fulls:
+        batch, shards = feed(full)
+        if halo_mode:
+            state, metrics = step(state, batch, shards)
+        else:
+            state, metrics = step(state, batch)
 
     ms_per_step = None
     if args.bench_iters:
@@ -105,7 +154,10 @@ def main(argv=None) -> None:
         jax.block_until_ready(metrics["loss_total"])
         t0 = time.perf_counter()
         for _ in range(args.bench_iters):
-            state, metrics = step(state, batch)
+            if halo_mode:
+                state, metrics = step(state, batch, shards)
+            else:
+                state, metrics = step(state, batch)
         jax.block_until_ready(metrics["loss_total"])
         ms_per_step = (time.perf_counter() - t0) / args.bench_iters * 1e3
 

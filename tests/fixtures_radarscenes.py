@@ -71,20 +71,30 @@ def make_mini_radarscenes(
     pts_static: int = 30,
     n_objects: int = 3,
     dataset_path: str = "data",
+    seq_name: str = "sequence_1",
+    category: str = "train",
 ) -> str:
-    """Write the fixture under `root`/`dataset_path`; returns that dir."""
+    """Write the fixture under `root`/`dataset_path`; returns that dir.
+
+    Calling again with a different `seq_name` ADDS a sequence to an
+    existing fixture root (sequences.json is merged), so a multi-sequence
+    mini-dataset is just several calls with distinct seeds/names."""
     rng = np.random.default_rng(seed)
     base = os.path.join(root, dataset_path)
-    seq_dir = os.path.join(base, "sequence_1")
+    seq_dir = os.path.join(base, seq_name)
     os.makedirs(seq_dir, exist_ok=True)
 
     with open(os.path.join(base, "sensors.json"), "w") as f:
         json.dump(MOUNTS, f)
-    with open(os.path.join(base, "sequences.json"), "w") as f:
-        json.dump({
-            "n_sequences": 1,
-            "sequences": {"sequence_1": {"category": "train"}},
-        }, f)
+    seqs_path = os.path.join(base, "sequences.json")
+    seqs = {"n_sequences": 0, "sequences": {}}
+    if os.path.exists(seqs_path):
+        with open(seqs_path) as f:
+            seqs = json.load(f)
+    seqs["sequences"][seq_name] = {"category": category}
+    seqs["n_sequences"] = len(seqs["sequences"])
+    with open(seqs_path, "w") as f:
+        json.dump(seqs, f)
 
     dt_us = 60_000
     t0 = 1_000_000
@@ -198,7 +208,7 @@ def make_mini_radarscenes(
         f.create_dataset("odometry", data=odometry)
     with open(os.path.join(seq_dir, "scenes.json"), "w") as f:
         json.dump({
-            "sequence_name": "sequence_1",
+            "sequence_name": seq_name,
             "first_timestamp": int(ts[0]),
             "last_timestamp": int(ts[-1]),
             "scenes": scenes,

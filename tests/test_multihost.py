@@ -82,6 +82,64 @@ def test_two_process_run_matches_single_process(tmp_path, n_graph):
     )
 
 
+def _compare_multi_to_single(tmp_path, *, n_procs, local_devices, extra):
+    """Run single-process (all devices) vs n_procs × local_devices with
+    identical mesh/flags; metrics and params must agree."""
+    ref_out = str(tmp_path / "ref.json")
+    _wait(_run_worker(extra, ref_out,
+                      local_devices=n_procs * local_devices))
+    with open(ref_out) as f:
+        ref_res = json.load(f)
+    assert ref_res["process_count"] == 1
+
+    port = _free_port()
+    mh_out = str(tmp_path / "mh.json")
+    flags = extra + [
+        "--coordinator", f"127.0.0.1:{port}",
+        "--num-processes", str(n_procs),
+    ]
+    procs = [
+        _run_worker(
+            flags + ["--process-id", str(p)],
+            mh_out if p == 0 else mh_out + f".ignored{p}",
+            local_devices=local_devices,
+        )
+        for p in range(n_procs)
+    ]
+    for p in procs:
+        _wait(p)
+    with open(mh_out) as f:
+        mh_res = json.load(f)
+    assert mh_res["process_count"] == n_procs
+    assert mh_res["devices"] == n_procs * local_devices
+    for k, v in ref_res["metrics"].items():
+        np.testing.assert_allclose(
+            mh_res["metrics"][k], v, rtol=1e-5, atol=1e-7, err_msg=k
+        )
+    np.testing.assert_allclose(
+        mh_res["param_l1"], ref_res["param_l1"], rtol=1e-6
+    )
+
+
+def test_four_process_run_matches_single_process(tmp_path):
+    """4 processes × 2 devices (data axis crossing three process
+    boundaries, graph axis inside each process) — the orchestration the
+    2-host ≥80 % scaling target will be judged on, one step denser."""
+    _compare_multi_to_single(
+        tmp_path, n_procs=4, local_devices=2, extra=["--n-graph", "2"]
+    )
+
+
+def test_halo_partition_across_processes(tmp_path):
+    """Owner-computes halo partitioning (parallel/halo.py) under the
+    multi-process runtime: ppermute halo exchange + all_gather cross the
+    shard_map inside each host while gradient psums cross processes."""
+    _compare_multi_to_single(
+        tmp_path, n_procs=2, local_devices=4,
+        extra=["--n-graph", "2", "--graph-partition", "halo"],
+    )
+
+
 def test_process_scaling_sweep():
     from graph_neural_network_for_radar_perception_tpu.parallel.scaling import (
         measure_process_scaling,
