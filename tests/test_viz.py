@@ -104,3 +104,41 @@ def test_long_tail_functions_render(det, tmp_path):
     assert os.path.exists(out)
     V.plot_channels(np.random.default_rng(0).random((16, 16, 3)))
     plt.close("all")
+
+
+def test_interactive_viewer_widgets(tmp_path):
+    """Interactive viewer parity essentials (reference Qt viewer:
+    slider scrubbing, per-sensor toggles, display modes) — drive the
+    widget callbacks headlessly and export."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from graph_neural_network_for_radar_perception_tpu.data.synthetic import (
+        make_synthetic_frame,
+    )
+    from graph_neural_network_for_radar_perception_tpu.viz.viewer import (
+        InteractiveSequenceViewer,
+    )
+
+    rng = np.random.default_rng(0)
+    windows = [
+        make_synthetic_frame(rng, num_objects=2, window_size=3)
+        for _ in range(4)
+    ]
+    v = InteractiveSequenceViewer(windows)
+    fig, widgets = v.build_figure()
+    assert set(widgets) == {"slider", "sensors", "mode"}
+
+    widgets["slider"].set_val(2)
+    assert v.idx == 2
+    n_before = int(v._visible_mask(windows[2]).sum())
+    v.toggle_sensor(1)
+    assert not v.sensors_on[1]
+    assert int(v._visible_mask(windows[2]).sum()) <= n_before
+    v.set_mode("doppler")
+    v.set_mode("track")
+    out = v.export(str(tmp_path / "viewer.png"))
+    assert os.path.exists(out)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
