@@ -8,14 +8,26 @@ Configs (mirroring BASELINE.json):
 
 Prints ONE JSON line with the headline metric; details go to stderr.
 
-Driver-robustness design (round-5, after two rounds of driver timeouts):
+TIMING METHODOLOGY (round 5 — supersedes every earlier number): on the
+tunnelled runtime `jax.block_until_ready` can return BEFORE device
+execution completes (a chained scan of 100 8192^3 matmuls "timed" 0.4 ms
+against 662 ms of real MXU work), so per-dispatch wall timing measures
+the dispatch stream, not the chip; and a blocking scalar readback flips
+the session into per-step input re-upload, so readback-per-step
+over-reports instead.  The only trustworthy unit is K sequentially-
+dependent steps inside ONE compiled lax.scan program, timed end-to-end
+including a single readback, at two K values: the slope
+(t_K2 - t_K1)/(K2 - K1) cancels RTT, upload, dispatch, and compile-cache
+effects.  docs/PERF.md round 5 has the full derivation.
+
+Driver-robustness design (after two rounds of driver timeouts):
   * each TPU subbench runs in ONE fresh subprocess that warms its own
     session (first op = trivial matmul) — no cross-process warm hand-off;
   * the child prints timestamped phase markers (attach / init / compile /
-    window k) to stderr so a timeout is diagnosable from the artifact;
-  * the child writes every completed timing window to a partial-results
+    measure) to stderr so a timeout is diagnosable from the artifact;
+  * the child writes each completed measurement to a partial-results
     JSON file; if the child exceeds its budget the parent still reports
-    the best completed window as a real TPU number;
+    the best completed measurement as a real TPU number;
   * escalating attempt budgets under a global deadline, CPU fallback last.
 """
 
@@ -110,28 +122,33 @@ def _host_batch(cfg, batch_size, num_objects=8, seed=0, packed=True):
     return next(gen)
 
 
-def _time_windows(step, state, batch, iters, windows, ph, diag):
-    """Min ms/step over `windows` back-to-back windows of `iters` steps,
-    chained through the (donated) TrainState — sequential-dependence
-    ground truth (independent calls overlap on the remote runtime and
-    under-report).  Each completed window updates the partial-results
-    file so a parent-side timeout still yields a usable number."""
-    import jax
-
-    state, m = step(state, batch)
-    jax.block_until_ready(m["loss_total"])
-    ph("train step compiled + first step done")
-    best = float("inf")
-    for w in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, batch)
-        jax.block_until_ready(m["loss_total"])
-        dt = (time.perf_counter() - t0) / iters
-        best = min(best, dt)
-        ph(f"window {w}: {dt * 1e3:.3f} ms/step (best {best * 1e3:.3f})")
-        _write_partial(dict(diag, ms_per_step=best * 1e3, windows=w + 1))
-    return best
+def _scan_slope(make_prog, make_state, batch, ph, diag, k1, k2, reps=2):
+    """True seconds/step: time a K-step scanned program (single dispatch,
+    single readback barrier) at K=k1 and K=k2; the slope between them is
+    pure per-step device execution (see module docstring).  Each
+    completed stage updates the partial-results file, so a parent-side
+    timeout still yields a usable (upper-bound) number."""
+    times = {}
+    for K in (k1, k2):
+        prog = make_prog(K)
+        state = make_state()
+        state, m = prog(state, batch)
+        lv = float(m)  # completion barrier (readback)
+        ph(f"K={K} program compiled + warm run done (loss={lv:.4f})")
+        best = float("inf")
+        for _ in range(reps):
+            state = make_state()
+            t0 = time.perf_counter()
+            state, m = prog(state, batch)
+            _ = float(m)
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+        ph(f"K={K}: {best * 1e3:.1f} ms total ({best / K * 1e3:.3f} ms/step raw)")
+        # Raw K-average is an over-estimate (includes RTT+upload) — safe
+        # as a partial result.
+        _write_partial(dict(diag, ms_per_step=best / K * 1e3, stage=f"K{K}"))
+    slope = (times[k2] - times[k1]) / (k2 - k1)
+    return slope
 
 
 def train_b8_config():
@@ -157,7 +174,7 @@ def bench_train_b8():
     import jax.numpy as jnp
 
     from graph_neural_network_for_radar_perception_tpu.train.steps import (
-        create_train_state, make_train_step,
+        create_train_state, make_train_scan,
     )
     from graph_neural_network_for_radar_perception_tpu.utils.profiling import (
         device_peak_flops, flops_per_train_step,
@@ -177,19 +194,29 @@ def bench_train_b8():
     )
     ph(f"host batch built (occupancy {occupancy:.1%})")
     batch = jax.tree.map(jnp.asarray, host_batch)
-    state = create_train_state(cfg, jax.random.key(0))
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+
+    def make_state():
+        s = create_train_state(cfg, jax.random.key(0))
+        jax.block_until_ready(jax.tree.leaves(s.params)[0])
+        return s
+
+    # Headline = the production default path (the exact step
+    # train/trainer.py runs: XLA model, one-hot MXU segment ops on TPU),
+    # measured as the slope of K-step scanned programs — the only timing
+    # this runtime cannot fake (module docstring).
+    def make_prog(K):
+        run = make_train_scan(cfg, K)
+
+        def prog(state, b):
+            state, m = run(state, b)
+            return state, m["loss_total"]
+
+        return prog
+
+    make_state()
     ph("init done")
-    # Headline = the production default: the plain XLA model path with
-    # state donation — the exact step train/trainer.py runs.  The 2x2
-    # kernel matrix {onehot,csr}x{xla,pallas backward} was measured
-    # end-to-end on v5e and the XLA path won at shipped sparsity
-    # (docs/PERF.md); the Pallas kernels remain opt-in.
-    step = make_train_step(cfg, donate=True)
-    if os.environ.get("BENCH_FORCE_CPU"):
-        dt = _time_windows(step, state, batch, 2, 1, ph, diag)
-    else:
-        dt = _time_windows(step, state, batch, 34, 4, ph, diag)
+    k1, k2 = (2, 6) if os.environ.get("BENCH_FORCE_CPU") else (30, 130)
+    dt = _scan_slope(make_prog, make_state, batch, ph, diag, k1, k2)
 
     flops = flops_per_train_step(cfg, 8)
     tflops = flops / dt / 1e12
@@ -202,7 +229,7 @@ def bench_train_b8():
         f"E_cap={cfg.max_edges}/graph, packed batch)"
     )
     log(f"train_b8: ~{tflops:.1f} TFLOP/s analytic, MFU {mfu}")
-    print(json.dumps(dict(diag, ms_per_step=dt * 1e3, windows=-1)))
+    print(json.dumps(dict(diag, ms_per_step=dt * 1e3, stage="slope")))
 
 
 def bench_stress_dense():
@@ -216,7 +243,7 @@ def bench_stress_dense():
         GNNConfig,
     )
     from graph_neural_network_for_radar_perception_tpu.train.steps import (
-        create_train_state, make_train_step,
+        create_train_state,
     )
 
     cfg = GNNConfig(
@@ -233,23 +260,40 @@ def bench_stress_dense():
     diag = dict(name="stress_dense", cap_edges=cap_edges, valid_e=valid_e)
     ph("host batch built")
     batch = jax.tree.map(jnp.asarray, host_batch)
-    state = create_train_state(cfg, jax.random.key(0))
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
-    ph("init done")
-    # At ~10x fanout the fused onehot Pallas kernel beats the XLA path
-    # (1.67 vs 1.85 ms/step round-4 — docs/PERF.md): dense edge tiles are
-    # where keeping gather→MLP→scatter in VMEM pays.
-    step = make_train_step(
-        cfg, use_fast_path=True, mp_impl="onehot", pallas_backward=False,
-        donate=True,
+
+    from graph_neural_network_for_radar_perception_tpu.train.steps import (
+        make_train_scan,
     )
-    dt = _time_windows(step, state, batch, 10, 3, ph, diag)
+
+    def make_state():
+        s = create_train_state(cfg, jax.random.key(0))
+        jax.block_until_ready(jax.tree.leaves(s.params)[0])
+        return s
+
+    # Under true scan-slope timing the default XLA path (one-hot MXU
+    # segment ops, 45.2 ms/step) statistically ties the fused Pallas
+    # kernel with Pallas backward (43.5) at dense fanout; the round-4
+    # "kernel wins stress" numbers were dispatch-stream artifacts
+    # (docs/PERF.md round 5 matrix).  Bench the default path.
+    def make_prog(K):
+        run = make_train_scan(cfg, K)
+
+        def prog(state, b):
+            state, m = run(state, b)
+            return state, m["loss_total"]
+
+        return prog
+
+    make_state()
+    ph("init done")
+    k1, k2 = (2, 4) if os.environ.get("BENCH_FORCE_CPU") else (10, 50)
+    dt = _scan_slope(make_prog, make_state, batch, ph, diag, k1, k2)
     log(
         f"stress_dense: {dt * 1e3:.2f} ms/step (E_cap={cfg.max_edges}, "
-        f"valid E≈{valid_e:.0f}/graph, 14 rounds, fused onehot kernel) → "
+        f"valid E≈{valid_e:.0f}/graph, 14 rounds) → "
         f"{cap_edges / dt:.3e} edge-msgs/s"
     )
-    print(json.dumps(dict(diag, ms_per_step=dt * 1e3, windows=-1)))
+    print(json.dumps(dict(diag, ms_per_step=dt * 1e3, stage="slope")))
 
 
 def bench_deploy():
@@ -278,43 +322,51 @@ def bench_deploy():
     model = RadarGNN(cfg)
     ph("init done")
 
-    @jax.jit
-    def run(p, graph, carry):
-        # Chain successive frames through a zero-valued carry so the
-        # runtime cannot overlap independent executions (docs/PERF.md
-        # round-3 notes) — the timing is true per-frame latency.
-        graph = dataclasses.replace(
-            graph, node_feat=graph.node_feat + carry
-        )
-        out = model.apply(
-            {"params": p}, graph, eps=1.4, method=RadarGNN.deploy
-        )
-        return out, 0.0 * jnp.sum(out.node_cls)
+    from functools import partial
 
-    out, carry = run(params, g, jnp.float32(0.0))
-    # Second warmup WITH the device carry: a weak-typed python scalar and
-    # a committed f32 scalar are different jit signatures — timing across
-    # that boundary hides a recompile (measured as a bogus 87 ms/frame).
-    out, carry = run(params, g, carry)
-    jax.block_until_ready(out.obj_cls)
-    ph("deploy program compiled")
+    # K deploy forwards inside one scanned program, each frame's input
+    # perturbed by the previous frame's output (forced sequential
+    # server-side); the K1/K2 slope is true per-frame device time
+    # (module docstring — per-dispatch walls are not trustworthy here).
+    def make_prog(K):
+        @partial(jax.jit, static_argnums=(2,))
+        def prog(p, graph, k):
+            def body(carry, _):
+                gr = dataclasses.replace(
+                    graph, node_feat=graph.node_feat + carry
+                )
+                out = model.apply(
+                    {"params": p}, gr, eps=1.4, method=RadarGNN.deploy
+                )
+                return 0.0 * jnp.sum(out.node_cls), jnp.sum(out.obj_cls)
+            c, outs = jax.lax.scan(
+                body, jnp.float32(0.0), None, length=k
+            )
+            return outs[-1]
+
+        return lambda p, graph: prog(p, graph, K)
+
     diag = dict(name="deploy")
-    best = float("inf")
-    for w in range(3):
-        iters = 50
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out, carry = run(params, g, carry)
-        jax.block_until_ready(out.obj_cls)
-        dt = (time.perf_counter() - t0) / iters
-        best = min(best, dt)
-        ph(f"window {w}: {dt * 1e3:.3f} ms/frame")
-        _write_partial(dict(diag, ms_per_frame=best * 1e3, windows=w + 1))
+    k1, k2 = (2, 6) if os.environ.get("BENCH_FORCE_CPU") else (40, 200)
+    times = {}
+    for K in (k1, k2):
+        prog = make_prog(K)
+        _ = float(prog(params, g))
+        ph(f"K={K} deploy program compiled + warm run done")
+        best = float("inf")
+        for _r in range(2):
+            t0 = time.perf_counter()
+            _ = float(prog(params, g))
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+        ph(f"K={K}: {best * 1e3:.1f} ms total")
+        _write_partial(dict(diag, ms_per_frame=best / K * 1e3, stage=f"K{K}"))
+    dt = (times[k2] - times[k1]) / (k2 - k1)
     log(
-        f"deploy: {best * 1e3:.2f} ms/frame (incl. on-device DBSCAN, "
-        f"latency-chained) → {1 / best:.1f} frames/s"
+        f"deploy: {dt * 1e3:.2f} ms/frame (incl. on-device DBSCAN, "
+        f"scan-slope) → {1 / dt:.1f} frames/s"
     )
-    print(json.dumps(dict(diag, ms_per_frame=best * 1e3, windows=-1)))
+    print(json.dumps(dict(diag, ms_per_frame=dt * 1e3, stage="slope")))
 
 
 def bench_torch(e_cap: int, batch: int = 8):
@@ -433,7 +485,7 @@ def _run_subbench(name: str, timeout: float, env_extra=None):
             with open(partial) as f:
                 result = dict(json.load(f), partial=True)
             log(f"{name}: using partial result "
-                f"({result.get('windows', '?')} completed windows)")
+                f"(stage {result.get('stage', '?')})")
         except ValueError:
             pass
     if os.path.exists(partial):
@@ -517,7 +569,7 @@ def main():
             f"headline: {res['ms_per_step']:.2f} ms/step → "
             f"{headline:.3e} valid-edge-msgs/s "
             f"({occupancy:.1%} occupancy, {cap_eps:.3e} capacity-edge/s)"
-            + (" [partial windows]" if res.get("partial") else "")
+            + (" [partial]" if res.get("partial") else "")
         )
     ratio = headline / base if (headline and base) else float("nan")
     print(

@@ -175,7 +175,8 @@ class NormFreeConvBlock(nn.Module):
         else:
             identity = x
         m = jnp.concatenate(
-            [x[receivers], x[senders]], axis=-1
+            [S.gather_nodes(x, receivers), S.gather_nodes(x, senders)],
+            axis=-1,
         )
         m = MLPStack(self.msg_channels, self.activation, None)(m)
         agg = S.masked_segment_sum(m, receivers, n, edge_mask)

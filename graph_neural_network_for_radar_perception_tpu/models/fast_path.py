@@ -55,20 +55,19 @@ def _head(p, x):
 def default_mp_impl(cfg: GNNConfig) -> str:
     """Pick the message-passing kernel for a config.
 
-    Default "onehot" — measured end-to-end on TPU v5e (see docs/PERF.md;
-    round-4 runtime, dense-fanout stress config E_cap=76.8k/14 rounds):
-
-        onehot + XLA backward   1.67 ms/step   ← dense-fanout winner
-        csr    + XLA backward   1.83 ms/step
-        XLA model path          1.85 ms/step
-
-    At the shipped k=10 sparsity the plain XLA model path wins outright
-    (1.18 ms/step headline, ~93 % MFU) — the fast path itself is opt-in
-    (`make_train_step(use_fast_path=True)`).  "csr" now supports source
-    windowing (cfg.csr_src_window + cfg.spatial_sort) which removes its
-    last O(E·N·D) term, but the source-window contract does not hold on
-    kNN radar scenes (isolated points ⇒ unbounded-radius edges — PERF.md
-    round 4), so csr stays opt-in for bounded-radius graph workloads."""
+    Round-5 scan-slope truth (docs/PERF.md — the round 1-4 per-dispatch
+    numbers were dispatch-stream artifacts and are retracted): at the
+    shipped k=10 sparsity the plain XLA model path with one-hot MXU
+    segment ops (ops/segment.py) is the outright winner (11.3 ms/step
+    fwd+bwd vs 14.2 for onehot-Pallas + Pallas backward); at ~10x dense
+    fanout the Pallas kernel with Pallas backward statistically ties it
+    (43.5 vs 45.2 ms/step).  The fast path is therefore opt-in
+    everywhere (`make_train_step(use_fast_path=True)`); "onehot" remains
+    its default kernel.  "csr" (+ optional source windowing via
+    cfg.csr_src_window + cfg.spatial_sort) stays opt-in for
+    bounded-radius graph workloads — the window contract does not hold
+    on kNN radar scenes (isolated points ⇒ unbounded-radius edges,
+    PERF.md round 4)."""
     del cfg
     return "onehot"
 
@@ -103,9 +102,11 @@ def fast_forward(
         mp_impl = cfg.mp_impl or default_mp_impl(cfg)
     if pallas_backward is None:
         # Env default resolved at TRACE time (baked into the compiled
-        # step); pass explicitly for per-call control.  The measured
-        # default is the XLA backward for BOTH kernels (docs/PERF.md);
-        # the Pallas backwards are slower on v5e as of 2026-08.
+        # step); pass explicitly for per-call control.  Round-5
+        # scan-slope truth: the Pallas backward is ~2.5x FASTER than the
+        # XLA backward of the kernel forward (14.2 vs 35.3 ms/step,
+        # docs/PERF.md), so it now defaults ON whenever the kernel path
+        # is selected.
         from ..ops.pallas.fused_mp import use_pallas_backward
 
         pallas_backward = use_pallas_backward()
@@ -198,7 +199,11 @@ def fast_forward(
     )
 
     xe = _ffn(params["predict_link"]["FFNBlock_0"], x)
-    el = xe[graph.und_senders] + xe[graph.und_receivers]
+    from ..ops.segment import gather_nodes
+
+    el = gather_nodes(xe, graph.und_senders) + gather_nodes(
+        xe, graph.und_receivers
+    )
     el = _stack(params["predict_link"]["MLPStack_0"], el)
     edge_cls = _head(params["predict_link"]["TaskSpecificHead_0"], el)
 

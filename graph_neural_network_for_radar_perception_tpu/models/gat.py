@@ -44,7 +44,9 @@ class GATv2Conv(nn.Module):
         x_r = Linear(h * c, name="lin_r")(x).reshape(n, h, c)  # target
         e = Linear(h * c, name="lin_edge")(edge_feat).reshape(-1, h, c)
 
-        s = x_l[senders] + x_r[receivers] + e  # [E, H, C]
+        xs = S.gather_nodes(x_l.reshape(n, h * c), senders).reshape(-1, h, c)
+        xr = S.gather_nodes(x_r.reshape(n, h * c), receivers).reshape(-1, h, c)
+        s = xs + xr + e  # [E, H, C]
         s = jax.nn.leaky_relu(s, negative_slope=self.negative_slope)
         att = self.param(
             "att", nn.initializers.glorot_uniform(), (1, h, c)
@@ -53,7 +55,7 @@ class GATv2Conv(nn.Module):
         alpha = S.segment_softmax(
             logits, receivers, n, edge_mask
         )  # [E, H] normalised over incoming edges per head
-        msg = x_l[senders] * alpha[..., None]  # [E, H, C]
+        msg = xs * alpha[..., None]  # [E, H, C]
         out = S.masked_segment_sum(
             msg.reshape(-1, h * c), receivers, n, edge_mask
         )

@@ -37,10 +37,14 @@ The op is wrapped in jax.custom_vjp.  Two backward implementations exist:
   (flash-attention-style rematerialisation), walks the chain rule back
   through act∘cnorm twice, and accumulates every weight/input cotangent
   across the sequential grid — gather AND scatter transposes again ride
-  the MXU as one-hot matmuls.  Beats the XLA backward when the op is
-  benchmarked in isolation (2.7 vs 6.1 ms fwd+bwd) but composes badly
-  inside the full compiled step on the current backend; kept for future
-  backends and as the reference fused-backward recipe.
+  the MXU as one-hot matmuls.  Round-5 scan-slope truth (docs/PERF.md):
+  with the Pallas backward the fast path runs 14.2 ms/step fwd+bwd vs
+  35.3 with the XLA backward at shipped sparsity — the earlier
+  "composes badly" verdict was a dispatch-stream timing artifact.  Still
+  second to the default XLA model path with one-hot segment ops (11.3),
+  so the kernel stays opt-in; PALLAS_BACKWARD=1 (or
+  pallas_backward=True) is the right setting whenever the kernel is
+  used.
 
 A ``bf16`` mode feeds every MXU dot bf16 operands (one-hot gather/scatter
 rows are exact in bf16; accumulation stays f32, backward stays f32).
@@ -452,7 +456,7 @@ def use_pallas_backward() -> bool:
     passing ``pallas_backward=`` explicitly."""
     import os
 
-    return os.environ.get("PALLAS_BACKWARD", "0") == "1"
+    return os.environ.get("PALLAS_BACKWARD", "1") == "1"
 
 
 def _bwd(slope, edge_tile, interpret, bf16, pallas_backward, res, g_out):

@@ -200,10 +200,13 @@ def make_train_step(
     place (halves state HBM traffic); the input state is then CONSUMED —
     callers must reassign it every step (the trainer does).  Leave False
     when the old state is inspected after the call (tests, probes).
-    Timing with donation is sound: steps are sequentially dependent
-    through the state, so block_until_ready on the last step's metrics
-    bounds the whole chain — measured donate=True vs False agree within
-    run noise at 100 iters on the v5e tunnel (docs/PERF.md)."""
+
+    Do NOT time loops of this step on the tunnelled TPU runtime:
+    `block_until_ready` there can return before device execution
+    finishes, so per-dispatch walls measure the dispatch stream, not the
+    chip (docs/PERF.md round 5 — this invalidated the round 1-4
+    benchmark numbers).  Use `make_train_scan` and the two-K slope
+    instead (bench.py does)."""
     loss_fn = make_loss_fn(
         cfg, use_fast_path, mp_bf16=mp_bf16, mp_impl=mp_impl,
         pallas_backward=pallas_backward,
@@ -227,6 +230,62 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def make_train_scan(
+    cfg: GNNConfig, length: int, use_fast_path: bool = False,
+    mp_bf16: bool = False, mp_impl=None, pallas_backward=None,
+):
+    """(state, batches) → (state, last_metrics): `length` train steps inside
+    ONE compiled program (lax.scan), numerically identical to `length`
+    sequential `make_train_step` calls (tests/test_train.py asserts this).
+
+    Why it exists: one dispatch per K steps instead of K dispatches.  On
+    the tunnelled TPU runtime this is also the only trustworthy timing
+    unit — `block_until_ready` there can return before device execution
+    finishes, so per-dispatch walls measure the dispatch stream, not the
+    chip (docs/PERF.md round 5); a scanned program is forced sequential
+    server-side and is timed end-to-end with a single readback.
+
+    `batches` is either one GraphBatch (same batch every step — the bench
+    case) or a GraphBatch pytree with a leading [length] axis (real
+    training over K different batches per dispatch)."""
+    loss_fn = make_loss_fn(
+        cfg, use_fast_path, mp_bf16=mp_bf16, mp_impl=mp_impl,
+        pallas_backward=pallas_backward,
+    )
+    tx = make_optimizer(cfg)
+
+    def body(state: TrainState, batch: GraphBatch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        ok = all_finite(grads) & jnp.isfinite(loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_if(
+            ok, (params, opt_state), (state.params, state.opt_state)
+        )
+        metrics = dict(metrics, skipped=(~ok).astype(jnp.float32))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def train_scan(state: TrainState, batches, stacked: bool):
+        if stacked:
+            return jax.lax.scan(body, state, batches)
+        return jax.lax.scan(
+            lambda s, _: body(s, batches), state, None, length=length
+        )
+
+    def run(state, batches):
+        # One batch reused ([B, ...] leaves) vs [length] stacked batches
+        # ([length, B, ...] leaves): decided by the node_feat rank.
+        stacked = batches.graph.node_feat.ndim == 4
+        state, ms = train_scan(state, batches, stacked)
+        # Last step's metrics (scan stacks them along the leading axis).
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return run
 
 
 def make_eval_step(cfg: GNNConfig):

@@ -1,4 +1,10 @@
-"""Measure the message-passing kernel matrix end-to-end on the real TPU.
+"""DEPRECATED (round 5): this script times per-dispatch walls, which on
+the tunnelled runtime measure the dispatch stream, not device execution
+(docs/PERF.md round-5 retraction).  Its numbers drove the wrong round-3/4
+kernel decisions.  Kept only as the historical artifact; use
+scripts/scan_truth.py / scripts/sweep_batch.py (scan-slope) instead.
+
+Measure the message-passing kernel matrix end-to-end on the real TPU.
 
 Times one full train step (fwd+bwd+SGD) for the shipped bench config
 (max_nodes=768, batch 8) across {xla, onehot, csr} x {xla-bwd, pallas-bwd}

@@ -169,3 +169,54 @@ class TestGradAccumulation:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
             )
+
+
+class TestTrainScan:
+    def test_scan_matches_sequential(self, cfg, batch):
+        """K steps inside one lax.scan program == K sequential jitted
+        steps, exactly (same batch every step)."""
+        K = 3
+        b = to_jnp(batch)
+        s_seq = T.create_train_state(cfg, jax.random.key(2))
+        s_scan = T.create_train_state(cfg, jax.random.key(2))
+        step = T.make_train_step(cfg)
+        for _ in range(K):
+            s_seq, m_seq = step(s_seq, b)
+        scan = T.make_train_scan(cfg, K)
+        s_scan, m_scan = scan(s_scan, b)
+        assert int(s_scan.step) == int(s_seq.step) == K
+        for k in m_seq:
+            np.testing.assert_allclose(
+                float(m_scan[k]), float(m_seq[k]), rtol=1e-6, err_msg=k
+            )
+        for a, c in zip(
+            jax.tree.leaves(s_seq.params), jax.tree.leaves(s_scan.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-8
+            )
+
+    def test_scan_stacked_batches(self, cfg):
+        """[K] stacked distinct batches == feeding them sequentially."""
+        K = 3
+        ds = SyntheticRadarDataset(cfg, seed=31, num_objects=2)
+        gen = ds.batches(cfg.batch_size)
+        bs = [to_jnp(next(gen)) for _ in range(K)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+        s_seq = T.create_train_state(cfg, jax.random.key(3))
+        s_scan = T.create_train_state(cfg, jax.random.key(3))
+        step = T.make_train_step(cfg)
+        for b in bs:
+            s_seq, m_seq = step(s_seq, b)
+        scan = T.make_train_scan(cfg, K)
+        s_scan, m_scan = scan(s_scan, stacked)
+        for k in m_seq:
+            np.testing.assert_allclose(
+                float(m_scan[k]), float(m_seq[k]), rtol=1e-6, err_msg=k
+            )
+        for a, c in zip(
+            jax.tree.leaves(s_seq.params), jax.tree.leaves(s_scan.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-8
+            )

@@ -186,3 +186,91 @@ class TestGraphBuild:
         np.testing.assert_allclose(
             np.asarray(ef)[:ne], ref_ef, rtol=1e-4, atol=1e-5
         )
+
+
+class TestOnehotSegops:
+    """The TPU implementation of segment-sum/gather (one-hot MXU matmuls,
+    docs/PERF.md round 5) must match the exact scatter/take path: values,
+    gradients, and the mask/sentinel conventions."""
+
+    def _both(self, fn, monkeypatch):
+        monkeypatch.setenv("SEGOP_IMPL", "scatter")
+        a = fn()
+        monkeypatch.setenv("SEGOP_IMPL", "onehot")
+        b = fn()
+        return a, b
+
+    def test_segment_sum_parity(self, rng, monkeypatch):
+        E, N, D = 193, 41, 17
+        data = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, N, (E,)).astype(np.int32))
+        mask = jnp.asarray(rng.random(E) > 0.4)
+        a, b = self._both(
+            lambda: S.masked_segment_sum(data, ids, N, mask), monkeypatch
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6,
+                                   atol=1e-6)
+
+    def test_segment_sum_1d_and_unmasked(self, rng, monkeypatch):
+        E, N = 129, 23
+        data = jnp.asarray(rng.normal(size=(E,)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, N, (E,)).astype(np.int32))
+        a, b = self._both(
+            lambda: S.masked_segment_sum(data, ids, N), monkeypatch
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6,
+                                   atol=1e-6)
+
+    def test_gather_parity_and_grad(self, rng, monkeypatch):
+        E, N, D = 211, 37, 13
+        tab = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, N, (E,)).astype(np.int32))
+
+        def run():
+            val = S.gather_nodes(tab, ids)
+            g = jax.grad(
+                lambda t: jnp.sum(jnp.sin(S.gather_nodes(t, ids)))
+            )(tab)
+            return val, g
+
+        (va, ga), (vb, gb) = self._both(run, monkeypatch)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=2e-6,
+                                   atol=1e-6)
+
+    def test_gather_sentinel_gives_zero_row(self, rng, monkeypatch):
+        """fast_path sentinel-pads edges with idx == N: the one-hot gather
+        must yield a zero row there (jnp.take would clip)."""
+        N, D = 11, 5
+        tab = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        ids = jnp.asarray(np.array([0, N, 3], np.int32))
+        monkeypatch.setenv("SEGOP_IMPL", "onehot")
+        out = S.gather_nodes(tab, ids)
+        np.testing.assert_array_equal(np.asarray(out[1]), np.zeros(D))
+
+    def test_model_loss_parity(self, monkeypatch):
+        """Full model loss agrees between the two segop backends."""
+        from graph_neural_network_for_radar_perception_tpu.config.config import (
+            tiny_test_config,
+        )
+        from graph_neural_network_for_radar_perception_tpu.data.pipeline import (
+            SyntheticRadarDataset,
+        )
+        from graph_neural_network_for_radar_perception_tpu.train import (
+            steps as T,
+        )
+
+        cfg = tiny_test_config()
+        ds = SyntheticRadarDataset(cfg, seed=5, num_objects=2)
+        batch = jax.tree.map(jnp.asarray, next(ds.batches(cfg.batch_size)))
+        state = T.create_train_state(cfg, jax.random.key(0))
+        loss_fn = T.make_loss_fn(cfg)
+        monkeypatch.setenv("SEGOP_IMPL", "scatter")
+        la, ma = jax.jit(loss_fn)(state.params, batch)
+        monkeypatch.setenv("SEGOP_IMPL", "onehot")
+        lb, mb = jax.jit(loss_fn)(state.params, batch)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+        for k in ma:
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=1e-4, atol=1e-6, err_msg=k
+            )
