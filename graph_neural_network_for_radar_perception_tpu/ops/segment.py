@@ -32,7 +32,13 @@ _NEG_INF = -3.4e38  # large finite negative for masked max in f32
 # A DEFAULT-precision (single bf16 pass) one-hot gather would round the
 # gathered features to 8 mantissa bits — visible drift vs the CPU/exact
 # path — while HIGHEST costs a further ~2x with no accuracy gain here.
-_PRECISION = jax.lax.Precision.HIGH
+# SEGOP_PRECISION=default opts bulk training into the single-pass mode
+# (measured 8.9 vs 11.3 ms/step end-to-end, docs/PERF.md round 5).
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("SEGOP_PRECISION", "high")]
 
 
 def use_onehot_segops() -> bool:

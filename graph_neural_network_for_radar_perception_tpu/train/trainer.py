@@ -113,6 +113,67 @@ def train(
     return state
 
 
+def train_chunked(
+    cfg: GNNConfig,
+    train_batches: Iterator[GraphBatch],
+    *,
+    chunk: int = 32,
+    hooks: Optional[TrainHooks] = None,
+    state: Optional[TrainState] = None,
+    max_iters: Optional[int] = None,
+    starting_iter: int = 0,
+) -> TrainState:
+    """Training loop dispatching `chunk` steps per compiled program.
+
+    Stacks `chunk` host batches along a new leading axis and runs them
+    through one `make_train_scan` program (train/steps.py) — numerically
+    identical to `chunk` sequential steps, but one dispatch+readback per
+    chunk.  On the tunnelled TPU runtime dispatch overhead is tens of ms
+    per call once any metric has been read back (docs/PERF.md round 5),
+    so chunking is the difference between dispatch-bound and
+    compute-bound training there; on directly-attached devices it is a
+    modest but free win.  Logging granularity becomes `chunk` steps
+    (metrics of the chunk's last step are reported)."""
+    import jax.numpy as jnp
+
+    from .steps import make_train_scan
+
+    hooks = hooks or TrainHooks()
+    if state is None:
+        state = create_train_state(cfg, jax.random.key(cfg.seed))
+    max_iters = max_iters if max_iters is not None else cfg.max_train_iter
+    run = make_train_scan(cfg, chunk)
+    tracker = RunningMeans()
+    t_start = time.perf_counter()
+    it = starting_iter
+    while it < max_iters:
+        n = min(chunk, max_iters - it)
+        host = [next(train_batches) for _ in range(n)]
+        # A shorter tail needs its own exact-length program (scan length
+        # is static); it compiles once and only on the final chunk.
+        if n < chunk:
+            run_tail = make_train_scan(cfg, n)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *host[:n])
+            state, metrics = run_tail(state, stacked)
+        else:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *host)
+            state, metrics = run(state, stacked)
+        it += n
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        tracker.update(host_metrics)
+        if hooks.writer is not None:
+            hooks.writer.write_train_val(it, tracker.means(), None)
+        elapsed = time.perf_counter() - t_start
+        hooks.print_fn(
+            f"iter {it}: loss {host_metrics['loss_total']:.4f} "
+            f"{n / max(elapsed, 1e-9):.1f} it/s (chunk={n})"
+        )
+        t_start = time.perf_counter()
+    if hooks.checkpoint is not None and max_iters > starting_iter:
+        hooks.checkpoint.save(max_iters, jax.device_get(state), wait=True)
+    return state
+
+
 def train_bucketed(
     cfg: GNNConfig,
     frames,

@@ -220,3 +220,29 @@ class TestTrainScan:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-8
             )
+
+    def test_train_chunked_matches_plain_loop(self, cfg):
+        """train_chunked (scan-dispatched) == train (per-step dispatch)
+        over the same batch stream, including a short tail chunk."""
+        from graph_neural_network_for_radar_perception_tpu.train.trainer import (
+            TrainHooks, train, train_chunked,
+        )
+
+        ds = SyntheticRadarDataset(cfg, seed=41, num_objects=2)
+        gen = ds.batches(cfg.batch_size)
+        bs = [to_jnp(next(gen)) for _ in range(5)]
+        hooks = TrainHooks(log_period=100, val_period=10**9,
+                           print_fn=lambda s: None)
+        s_a = train(cfg, iter(bs), hooks=hooks,
+                    state=T.create_train_state(cfg, jax.random.key(4)),
+                    train_step=T.make_train_step(cfg), max_iters=5)
+        s_b = train_chunked(cfg, iter(bs), chunk=2, hooks=hooks,
+                            state=T.create_train_state(cfg, jax.random.key(4)),
+                            max_iters=5)
+        assert int(s_a.step) == int(s_b.step) == 5
+        for a, b in zip(
+            jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+            )
