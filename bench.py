@@ -546,18 +546,6 @@ def main():
         )
         platform = "cpu_fallback"
 
-    # Fold shortened stress/deploy into the default artifact when the
-    # headline landed quickly (VERDICT r4 #7); BENCH_FULL forces them.
-    if res is not None and platform == "tpu" and (
-        os.environ.get("BENCH_FULL") or remaining() > 1200
-    ):
-        for name in ("stress_dense", "deploy"):
-            budget = remaining() - 200.0
-            if budget < 300 and not os.environ.get("BENCH_FULL"):
-                log(f"{name}: skipped (remaining budget {budget:.0f}s)")
-                continue
-            _run_subbench(name, timeout=max(60.0, min(1100.0, budget)))
-
     headline = 0.0
     occupancy = cap_eps = None
     if res is not None and "ms_per_step" in res:
@@ -572,6 +560,9 @@ def main():
             + (" [partial]" if res.get("partial") else "")
         )
     ratio = headline / base if (headline and base) else float("nan")
+    # The headline JSON is printed BEFORE the optional stress/deploy
+    # subbenches so a driver-side timeout during the extras can never
+    # lose the headline; their results go to stderr (the artifact tail).
     print(
         json.dumps({
             "metric": "valid_edge_messages_per_s",
@@ -582,8 +573,21 @@ def main():
             "occupancy": occupancy,
             "capacity_edge_messages_per_s": cap_eps,
             "partial": bool(res.get("partial")) if res else None,
-        })
+        }),
+        flush=True,
     )
+
+    # Fold shortened stress/deploy into the default artifact when budget
+    # remains (VERDICT r4 #7); BENCH_FULL forces them.
+    if res is not None and platform == "tpu" and (
+        os.environ.get("BENCH_FULL") or remaining() > 1200
+    ):
+        for name in ("stress_dense", "deploy"):
+            budget = remaining() - 200.0
+            if budget < 300 and not os.environ.get("BENCH_FULL"):
+                log(f"{name}: skipped (remaining budget {budget:.0f}s)")
+                continue
+            _run_subbench(name, timeout=max(60.0, min(1100.0, budget)))
     sys.exit(0)
 
 
