@@ -164,3 +164,37 @@ def test_scaling_harness_halo_mode():
     assert res[1]["devices"] == 4
     for r in res:
         assert r["edge_msgs_per_s"] > 0
+
+
+def test_halo_step_with_onehot_segops(cfg, sorted_batch, monkeypatch):
+    """Owner-computes halo partitioning composed with the TPU one-hot
+    segment-op lowering (ops/segment.py round 5) — the flagship
+    multi-chip configuration on real TPU hardware.  Both sides run with
+    SEGOP_IMPL=onehot so numerics match exactly."""
+    monkeypatch.setenv("SEGOP_IMPL", "onehot")
+    batch = jax.tree.map(jnp.asarray, sorted_batch)
+    halo = 8 * max(
+        1,
+        -(-max(
+            required_halo(jax.tree.map(lambda x: np.asarray(x)[b],
+                                       sorted_batch.graph), 2)
+            for b in range(cfg.batch_size)
+        ) // 8),
+    )
+    mesh = make_mesh(n_data=4, n_graph=2)
+    step = make_halo_train_step(cfg, mesh, halo)
+    shards = make_halo_batch(sorted_batch, cfg, 2, halo)
+    b, s = step.place(batch, shards)
+
+    state = T.create_train_state(cfg, jax.random.key(0))
+    single = T.make_train_step(cfg)
+    s_h, m_h = step(state, b, s)
+    s_1, m_1 = single(state, batch)
+    for k in m_1:
+        np.testing.assert_allclose(
+            float(m_h[k]), float(m_1[k]), rtol=2e-3, atol=1e-5, err_msg=k
+        )
+    for a, c in zip(jax.tree.leaves(s_h.params), jax.tree.leaves(s_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-4, atol=1e-6
+        )

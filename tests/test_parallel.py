@@ -118,3 +118,24 @@ def test_scaling_harness_runs():
     for r in res:
         assert r["edge_msgs_per_s"] > 0
         assert 0 < r["efficiency"] <= 4.0
+
+
+def test_edge_sharded_with_onehot_segops(cfg, batch, monkeypatch):
+    """The TPU lowering of the segment ops (one-hot MXU matmuls,
+    ops/segment.py round 5) must compose with shard_map edge sharding —
+    this is the combination a real multi-chip TPU run executes.  Both
+    the single-device reference and the sharded step run with
+    SEGOP_IMPL=onehot so their numerics match exactly."""
+    monkeypatch.setenv("SEGOP_IMPL", "onehot")
+    state = T.create_train_state(cfg, jax.random.key(0))
+    single = T.make_train_step(cfg)
+    mesh = make_mesh(n_data=4, n_graph=2)
+    sharded = make_edge_sharded_train_step(cfg, mesh)
+
+    s1, m1 = single(state, batch)
+    s2, m2 = sharded(state, sharded.place_batch(batch))
+    metrics_close(m1, m2)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
